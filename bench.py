@@ -1,0 +1,82 @@
+"""Benchmark: texture-optimization throughput at the reference's headline
+workload (the `with_angle_and_depth` full method config — see BASELINE.md):
+
+- 4096^2 texture atlas x 4 Laplacian layers
+- content views at 256px (256 x 341, the ScanNet 4:3 resize)
+- 4-level UV pyramid at native heights 256/432/608/784 (aspect 1280/960)
+- full loss: VGG style+content, angle weighting, depth-scaled pyramid,
+  texture regularizer; Adam.
+
+The metric is optimized *views per second per chip*: the reference processes
+exactly one view per optimizer step (batch_size=1), so views/sec equals the
+reference's steps/sec and is batch-size-fair for the TPU pipeline.
+
+vs_baseline compares against an estimated reference throughput of 4.0
+views/sec on A100 (the repo publishes no numbers — BASELINE.md; this
+estimate assumes ~60 VGG-16 conv passes/sec at 256-784px on A100 per the
+4-level pyramid forward+backward).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+REFERENCE_A100_VIEWS_PER_SEC = 4.0  # documented estimate, see module docstring
+BATCH_VIEWS = int(os.environ.get("BENCH_VIEWS", "2"))
+STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from stylemesh_tpu.data.synthetic import synthetic_view_batch
+    from stylemesh_tpu.models.pipeline import PipelineConfig, TexturePipeline
+    from stylemesh_tpu.models.vgg import init_vgg_params
+
+    cfg = PipelineConfig(
+        texture_width=4096, texture_height=4096, hierarchical_layers=4,
+        use_angle_weight=True, use_depth_scaling=True,
+        content_weight=7e1, style_weight=1e-4, tex_reg_weight=5e3,
+        style_pyramid_mode="multi", angle_threshold=30.0,
+        learning_rate=1.0, decay_step_size=3,
+        compute_dtype=jnp.bfloat16,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    vgg = init_vgg_params(rng=0, scale=0.05)
+    rng = np.random.default_rng(0)
+    style = jnp.asarray((rng.random((1, 512, 683, 3), dtype=np.float32) - 0.45) * 255.0)
+
+    batch = synthetic_view_batch(
+        num_views=BATCH_VIEWS, content_hw=(256, 341),
+        level_heights=(256, 432, 608, 784), aspect=1280.0 / 960.0,
+        min_depth=0.25, seed=0)
+
+    pipe = TexturePipeline(cfg, vgg, style)
+    state = pipe.init()
+
+    # compile + warmup
+    state, losses = pipe.train_step(state, batch)
+    jax.block_until_ready(losses)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, losses = pipe.train_step(state, batch)
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+
+    views_per_sec = STEPS * BATCH_VIEWS / dt
+    print(json.dumps({
+        "metric": "views_per_sec_per_chip_full_method_4096sq_x4",
+        "value": round(views_per_sec, 3),
+        "unit": "views/s",
+        "vs_baseline": round(views_per_sec / REFERENCE_A100_VIEWS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Command-line interface, flag-compatible with the reference
+(/root/reference/model/optimize.py:238-290) plus TPU-specific flags.
+
+Run as ``python -m stylemesh_tpu.cli --style_image_path ... --root_path ...``
+or via a preset: ``python -m stylemesh_tpu.cli --preset scannet_full``.
+"""
+
+import argparse
+
+import jax.numpy as jnp
+
+from stylemesh_tpu.models.losses import (
+    DEFAULT_CONTENT_LAYERS,
+    DEFAULT_CONTENT_WEIGHTS,
+    DEFAULT_STYLE_LAYERS,
+    DEFAULT_STYLE_WEIGHTS,
+)
+from stylemesh_tpu.models.pipeline import PipelineConfig
+from stylemesh_tpu.optimize import RunConfig, render_styled_frames, run_training
+from stylemesh_tpu.presets import PRESETS, apply_preset
+
+
+def build_parser():
+    p = argparse.ArgumentParser("stylemesh_tpu.optimize")
+    # dataset / run flags (reference :244-269)
+    p.add_argument("--root_path", default="")
+    p.add_argument("--dataset", default="scannet", choices=["scannet", "matterport"])
+    p.add_argument("--matterport_region_index", default=0, type=int)
+    p.add_argument("--train_split", default=0.8, type=float)
+    p.add_argument("--val_split", default=0.2, type=float)
+    p.add_argument("--split_mode", default="sequential", choices=["folder", "sequential"])
+    p.add_argument("--scene", default="")
+    p.add_argument("--max_images", default=-1, type=int)
+    p.add_argument("--min_images", default=1000, type=int)
+    p.add_argument("--resize_size", default=256, type=int)
+    p.add_argument("--texture_size", default="512,512",
+                   type=lambda s: [int(f) for f in s.split(",")])
+    p.add_argument("--hierarchical", default=False, action="store_true")
+    p.add_argument("--hierarchical_layers", default=4, type=int)
+    p.add_argument("--random_texture_init", default=False, action="store_true")
+    p.add_argument("--batch_size", default=1, type=int,
+                   help="views per jitted step (reference: always 1)")
+    p.add_argument("--learning_rate", default=1.0, type=float)
+    p.add_argument("--loss_weight", action="append",
+                   type=lambda kv: kv.split("="), dest="loss_weights")
+    p.add_argument("--tex_reg_weight", action="append",
+                   type=lambda kv: kv.split("="), dest="tex_reg_weights")
+    p.add_argument("--decay_gamma", default=0.1, type=float)
+    p.add_argument("--decay_step_size", default=30, type=int)
+    p.add_argument("--num_workers", default=4, type=int,
+                   help="accepted for reference-compat; the packed scene cache "
+                        "makes loader workers unnecessary")
+    p.add_argument("--log_images_nth", default=-1, type=int)
+    p.add_argument("--save_texture", default=False, action="store_true")
+    p.add_argument("--shuffle", default=False, action="store_true")
+    p.add_argument("--sampler_mode", default="repeat",
+                   choices=["random", "sequential", "repeat"])
+    p.add_argument("--index_repeat", default=1, type=int)
+    p.add_argument("--max_epochs", default=1, type=int)
+    p.add_argument("--log_dir", default="runs")
+
+    # style-transfer flags (reference :272-285)
+    p.add_argument("--vgg_gatys_model_path", default="", type=str)
+    p.add_argument("--style_image_path", default="", type=str)
+    p.add_argument("--style_layers", type=lambda s: s.split(","),
+                   default=list(DEFAULT_STYLE_LAYERS))
+    p.add_argument("--content_layers", type=lambda s: s.split(","),
+                   default=list(DEFAULT_CONTENT_LAYERS))
+    p.add_argument("--style_weights", type=lambda s: [float(f) for f in s.split(",")],
+                   default=list(DEFAULT_STYLE_WEIGHTS))
+    p.add_argument("--content_weights", type=lambda s: [float(f) for f in s.split(",")],
+                   default=list(DEFAULT_CONTENT_WEIGHTS))
+    p.add_argument("--no_angle_weight", default=False, action="store_true")
+    p.add_argument("--no_depth_scaling", default=False, action="store_true")
+    p.add_argument("--angle_threshold", default=60.0, type=float)
+    p.add_argument("--pyramid_levels", default=8, type=int)
+    p.add_argument("--min_pyramid_depth", default=0.25, type=float)
+    p.add_argument("--min_pyramid_height", default=32, type=int)
+    p.add_argument("--style_pyramid_mode", default="single", choices=["single", "multi"])
+    p.add_argument("--gram_mode", default="current", choices=["current", "average"])
+    p.add_argument("--renderer_mipmap", default=None, type=str,
+                   help="accepted for reference-compat; post-train rendering "
+                        "is built in (texture sampling at baked UVs)")
+
+    # TPU-native flags
+    p.add_argument("--preset", default=None, choices=sorted(PRESETS.keys()))
+    p.add_argument("--data_parallel", default=False, action="store_true",
+                   help="shard the view batch across all visible chips")
+    p.add_argument("--bfloat16", default=False, action="store_true",
+                   help="bfloat16 VGG compute (MXU full rate)")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--no_post_steps", default=False, action="store_true")
+    return p
+
+
+def configs_from_args(args):
+    loss_weights = {l[0]: float(l[1]) for l in (args.loss_weights or [])}
+    tex_reg_weights = None
+    if args.tex_reg_weights:
+        d = {int(w[0]): float(w[1]) for w in args.tex_reg_weights}
+        tex_reg_weights = tuple(d[i] for i in range(len(d)))
+
+    pipe = PipelineConfig(
+        texture_width=args.texture_size[0],
+        texture_height=args.texture_size[1],
+        hierarchical_layers=args.hierarchical_layers if args.hierarchical else 1,
+        random_texture_init=args.random_texture_init,
+        style_layers=tuple(args.style_layers),
+        content_layers=tuple(args.content_layers),
+        style_weights=tuple(args.style_weights),
+        content_weights=tuple(args.content_weights),
+        use_angle_weight=not args.no_angle_weight,
+        use_depth_scaling=not args.no_depth_scaling,
+        angle_threshold=args.angle_threshold,
+        style_pyramid_mode=args.style_pyramid_mode,
+        gram_mode=args.gram_mode,
+        content_weight=loss_weights.get("content", 0.0),
+        style_weight=loss_weights.get("style", 0.0),
+        tex_reg_weight=loss_weights.get("tex_reg", 0.0),
+        tex_reg_weights=tex_reg_weights,
+        learning_rate=args.learning_rate,
+        decay_gamma=args.decay_gamma,
+        decay_step_size=args.decay_step_size,
+        compute_dtype=jnp.bfloat16 if args.bfloat16 else None,
+    )
+    run = RunConfig(
+        root_path=args.root_path,
+        dataset=args.dataset,
+        matterport_region_index=args.matterport_region_index,
+        scene=args.scene,
+        min_images=args.min_images,
+        max_images=args.max_images,
+        resize_size=args.resize_size,
+        pyramid_levels=args.pyramid_levels,
+        min_pyramid_depth=args.min_pyramid_depth,
+        min_pyramid_height=args.min_pyramid_height,
+        train_split=args.train_split,
+        val_split=args.val_split,
+        split_mode=args.split_mode,
+        sampler_mode=args.sampler_mode,
+        index_repeat=args.index_repeat,
+        shuffle=args.shuffle,
+        max_epochs=args.max_epochs,
+        views_per_batch=args.batch_size,
+        data_parallel=args.data_parallel,
+        save_texture=args.save_texture,
+        log_dir=args.log_dir,
+        vgg_model_path=args.vgg_gatys_model_path,
+        style_image_path=args.style_image_path,
+        seed=args.seed,
+        run_post_steps=not args.no_post_steps,
+    )
+    return run, pipe
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.preset:
+        args = apply_preset(args, args.preset)
+    run, pipe_cfg = configs_from_args(args)
+
+    state, log_dir, cache = run_training(run, pipe_cfg)
+
+    if run.run_post_steps:
+        from stylemesh_tpu.eval.reprojection import eval_reprojection_consistency
+        from stylemesh_tpu.texturing.video import video_from_files
+        import os
+
+        styled_dir = os.path.join(log_dir, "styled")
+        frames = render_styled_frames(state.texture, cache, styled_dir)
+        video_from_files(frames, os.path.join(log_dir, "styled.mp4"))
+        results = eval_reprojection_consistency(
+            cache, styled_dir, out_dir=log_dir, seed=42)
+        print("reprojection eval:", results)
+    return state, log_dir
+
+
+if __name__ == "__main__":
+    main()

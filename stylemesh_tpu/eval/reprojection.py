@@ -1,0 +1,156 @@
+"""Reprojection-consistency evaluation (paper Tab. 1 metric).
+
+Re-implements /root/reference/scripts/eval/eval_image_folders.py:207-413 on
+top of the packed scene cache: for every frame, warp the styled image of a
+paired frame into the current view using depth + poses (4-corner depth-
+agreement occlusion masking), then accumulate
+
+- MSE over the masked pixels (global sum-of-squares / count, exactly
+  torchmetrics.MeanSquaredError's accumulation), and
+- an LPIPS perceptual distance over the masked images (summed over frames,
+  as the reference sums the per-frame values :393-400),
+
+for three pairings: random (within ±pair_threshold), short (deterministic
+±1) and long (deterministic ±10).
+"""
+
+import json
+import os
+import random
+from datetime import datetime
+from os.path import join
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from stylemesh_tpu.data.loading import gatys_pre_np
+from stylemesh_tpu.geometry.project import reproject
+from stylemesh_tpu.ops.color import gatys_post
+
+
+def sample_pairs(n, threshold=10, rng=None):
+    """Random partner within ±threshold (eval_image_folders.py:185-193)."""
+    rng = rng or random
+    pairs = []
+    for i in range(n):
+        start = max(0, i - threshold)
+        end = min(n, i + threshold)
+        pairs.append(rng.choice([j for j in range(start, end) if j != i]))
+    return pairs
+
+
+def sample_pairs_det(n, threshold=10):
+    """Deterministic partner at -threshold (or +threshold at the left edge),
+    eval_image_folders.py:196-204."""
+    pairs = []
+    for i in range(n):
+        left, right = i - threshold, i + threshold
+        pairs.append(left if left >= 0 else right if right < n else i)
+    return pairs
+
+
+def _load_styled(path, hw):
+    img = Image.open(path).convert("RGB")
+    if (img.size[1], img.size[0]) != hw:
+        img = img.resize((hw[1], hw[0]), Image.Resampling.BILINEAR)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+class _MSEAccum:
+    """torchmetrics.MeanSquaredError semantics: global Σ(a-b)²/N."""
+
+    def __init__(self):
+        self.sq = 0.0
+        self.n = 0
+
+    def update(self, a, b):
+        d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+        self.sq += float(np.sum(d * d))
+        self.n += d.size
+
+    def compute(self):
+        return self.sq / max(self.n, 1)
+
+
+def eval_reprojection_consistency(scene_cache, styled_dir, out_dir=None,
+                                  seed=42, pair_threshold=20,
+                                  pair_threshold_short=1,
+                                  pair_threshold_long=10, lpips_fn=None,
+                                  save_images=True):
+    """Returns the metric dict and writes ``<timestamp>_output.json``.
+
+    Styled frames are read from ``styled_dir`` as ``<dataset idx>.png`` (the
+    output of ``render_styled_frames``); rgb/depth/pose come from the cache.
+    The metric operates in Gatys space like the reference (styled images are
+    pre()-transformed before the MSE, eval_image_folders.py:85-92).
+    """
+    b = scene_cache._batch_all
+    n = scene_cache.num_views
+    hw = b.rgb.shape[1:3]
+    out_dir = out_dir or styled_dir
+    stamp = datetime.now().strftime("%d.%m.%Y-%H:%M:%S")
+    image_dir = join(out_dir, f"eval_image_data_{stamp}")
+    if save_images:
+        os.makedirs(image_dir, exist_ok=True)
+
+    rng = random.Random(seed)
+    pairs = sample_pairs(n, pair_threshold, rng)
+    short_pairs = sample_pairs_det(n, pair_threshold_short)
+    long_pairs = sample_pairs_det(n, pair_threshold_long)
+
+    styled = np.stack([
+        gatys_pre_np(_load_styled(join(styled_dir, f"{idx}.png"), hw))
+        for idx in scene_cache.indices
+    ])
+    depth = np.asarray(b.depth)
+    poses = np.asarray(b.extrinsics)
+    intr = np.asarray(b.intrinsics)
+
+    accums = {"reprojection": _MSEAccum(), "reprojection_short": _MSEAccum(),
+              "reprojection_long": _MSEAccum()}
+    lpips_sums = {"reprojection_lpips": 0.0, "reprojection_short_lpips": 0.0,
+                  "reprojection_long_lpips": 0.0}
+
+    def eval_pair(i, j, key):
+        mask_other = (depth[j] > 0).astype(np.float32)
+        warped, mask = reproject(
+            jnp.asarray(poses[i:i + 1]), jnp.asarray(poses[j:j + 1]),
+            jnp.asarray(intr[i:i + 1]), jnp.asarray(depth[i:i + 1]),
+            jnp.asarray(depth[j:j + 1]), jnp.asarray(styled[j:j + 1]),
+            jnp.asarray(mask_other[None]))
+        warped = np.asarray(warped)[0]
+        mask = np.asarray(mask)[0, ..., 0].astype(bool)
+        cur = styled[i]
+        accums[key].update(cur[mask], warped[mask])
+        if lpips_fn is not None:
+            m3 = mask[..., None]
+            a01 = np.asarray(gatys_post(jnp.asarray(cur * m3)))
+            b01 = np.asarray(gatys_post(jnp.asarray(warped * m3)))
+            lpips_sums[key + "_lpips"] += float(lpips_fn(a01[None], b01[None])[0])
+        return warped, mask
+
+    for i in range(n):
+        warped, mask = eval_pair(i, pairs[i], "reprojection")
+        eval_pair(i, short_pairs[i], "reprojection_short")
+        eval_pair(i, long_pairs[i], "reprojection_long")
+        if save_images:
+            resid = np.abs(styled[i] * mask[..., None] - warped * mask[..., None])
+            img = np.asarray(gatys_post(jnp.asarray(resid)))
+            Image.fromarray((img * 255 + 0.5).astype(np.uint8)).save(
+                join(image_dir, f"residual_image_{i}.jpg"))
+
+    results = {
+        "number_files": n,
+        "date_time": stamp,
+        "pairs": pairs,
+        "short_pairs": short_pairs,
+        "long_pairs": long_pairs,
+        "lpips_calibrated": getattr(lpips_fn, "calibrated", None),
+        "accuracies": {k: a.compute() for k, a in accums.items()},
+    }
+    if lpips_fn is not None:
+        results["accuracies"].update(lpips_sums)
+    with open(join(out_dir, f"{stamp}_output.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results

@@ -1,0 +1,246 @@
+"""Content + style losses over a multi-resolution prediction pyramid.
+
+Re-implements ``ContentAndStyleLoss`` and ``calculate_pyramid``
+(/root/reference/model/losses/content_and_style_losses.py:146-350) as pure,
+static-shape JAX functions:
+
+- Variable-length masked feature sets become mask-weighted Grams / MSEs
+  (bit-equal to the gather form, see :mod:`stylemesh_tpu.ops.gram`).
+- The reference's dynamic "drop empty pyramid levels"
+  (/root/reference/model/model.py:256-257) becomes zero-factor levels — an
+  empty mask yields factor 0 and zero masked losses, so the contribution is
+  identical without shape changes.
+- Batching: the reference runs one view per step (batch_size=1). Here a batch
+  of V views computes per-view masks/factors/losses (each exactly the
+  reference's B=1 semantics) and returns the mean over views — the natural
+  many-views-per-step generalization for a TPU view-parallel step.
+- ``gram_mode='average'`` (rolling cache of the last 10 Grams, 9 detached,
+  :319-323) becomes explicit functional state (:class:`GramCache`) carried in
+  the train state; cache entries hold the view-mean Gram (exact for V=1).
+
+Style targets are computed once per style image and folded as constants into
+the jitted step (:273-286 in the reference).
+"""
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stylemesh_tpu.models.vgg import vgg_features
+from stylemesh_tpu.ops.gram import gram_matrix, masked_gram, masked_mse
+from stylemesh_tpu.ops.pyramid import image_pyramid
+from stylemesh_tpu.ops.resize import resize_bilinear, resize_nearest
+
+DEFAULT_STYLE_LAYERS = ("r11", "r21", "r31", "r41", "r51")
+DEFAULT_CONTENT_LAYERS = ("r42",)
+DEFAULT_STYLE_WEIGHTS = tuple(1e3 / n ** 2 for n in (64, 128, 256, 512, 512))
+DEFAULT_CONTENT_WEIGHTS = (1.0,)
+
+GRAM_CACHE_DEPTH = 10  # reference keeps the current + 9 detached grams (:320)
+
+
+class StyleTargets(NamedTuple):
+    """Precomputed style Gram targets: layer name -> ``[num_levels, C, C]``."""
+
+    grams: Dict[str, jax.Array]
+
+
+class GramCache(NamedTuple):
+    """Functional state for ``gram_mode='average'``.
+
+    ``grams[layer]``: ``[GRAM_CACHE_DEPTH, C, C]`` ring buffer (slot 0 is the
+    most recent); ``count``: number of valid entries.
+    """
+
+    grams: Dict[str, jax.Array]
+    count: jax.Array  # scalar int32
+
+    @staticmethod
+    def create(style_layers, layer_channels):
+        return GramCache(
+            grams={k: jnp.zeros((GRAM_CACHE_DEPTH, layer_channels[k], layer_channels[k]),
+                                dtype=jnp.float32) for k in style_layers},
+            count=jnp.zeros((), dtype=jnp.int32),
+        )
+
+
+def _mse_gram(y, y_hat):
+    """Per-view MSE between a target Gram ``[C, C]`` (broadcast) and per-view
+    Grams ``[V, C, C]``. Returns ``[V]``."""
+    d = (y_hat.astype(jnp.float32) - y.astype(jnp.float32)) ** 2
+    return jnp.mean(d, axis=(-2, -1))
+
+
+@dataclasses.dataclass(frozen=True)
+class ContentAndStyleLoss:
+    """Static configuration of the loss; all methods are pure."""
+
+    style_layers: Tuple[str, ...] = DEFAULT_STYLE_LAYERS
+    content_layers: Tuple[str, ...] = DEFAULT_CONTENT_LAYERS
+    style_weights: Tuple[float, ...] = DEFAULT_STYLE_WEIGHTS
+    content_weights: Tuple[float, ...] = DEFAULT_CONTENT_WEIGHTS
+    angle_threshold: float = 60.0
+    style_pyramid_mode: str = "single"  # 'single' | 'multi'
+    gram_mode: str = "current"  # 'current' | 'average'
+    pool: str = "max"
+    num_style_levels: int = 5
+    style_min_size: int = 256  # pyramid floor (reference image_pyramid default)
+    compute_dtype: Optional[jnp.dtype] = None
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+
+    def __post_init__(self):
+        assert self.style_pyramid_mode in ("single", "multi"), self.style_pyramid_mode
+        assert self.gram_mode in ("current", "average"), self.gram_mode
+
+    @property
+    def layers(self):
+        return tuple(self.style_layers) + tuple(self.content_layers)
+
+    def _encode(self, vgg_params, x, keys):
+        return vgg_features(vgg_params, x, keys, pool=self.pool,
+                            compute_dtype=self.compute_dtype, precision=self.precision)
+
+    # ------------------------------------------------------------- targets
+
+    def set_style_image(self, vgg_params, style_image):
+        """Precompute per-level style Gram targets (reference :273-286).
+
+        Args:
+            style_image: ``[1, H, W, 3]`` Gatys-preprocessed.
+        Returns:
+            :class:`StyleTargets` with ``[num_levels, C, C]`` per style layer.
+        """
+        levels = list(range(self.num_style_levels))
+        pyramid = image_pyramid(style_image, levels, reverse=True,
+                                minimum_size=self.style_min_size)
+        encs = [self._encode(vgg_params, p, self.style_layers) for p in pyramid]
+        grams = {}
+        for k in self.style_layers:
+            grams[k] = jnp.stack([gram_matrix(e[k])[0] for e in encs], axis=0)
+        return StyleTargets(grams=grams)
+
+    # ------------------------------------------------------------- forward
+
+    def __call__(self, vgg_params, style_targets: StyleTargets,
+                 pred_pyramid: Sequence[jax.Array], target_content: jax.Array,
+                 pyramid_masks: Sequence[jax.Array], angle_degrees: jax.Array,
+                 gram_cache: Optional[GramCache] = None):
+        """Compute (style_loss, content_loss, new_gram_cache).
+
+        Args:
+            pred_pyramid: per level ``[V, H_i, W_i, 3]`` sampled textures
+                (Gatys space, grad-weighting already applied).
+            target_content: ``[V, H, W, 3]`` Gatys-preprocessed photo.
+            pyramid_masks: per level ``[V, H_i, W_i, 1]`` 0/1 float.
+            angle_degrees: ``[V, H, W, 1]`` viewing angle in degrees.
+            gram_cache: required iff ``gram_mode == 'average'``.
+        Returns:
+            scalar style loss, scalar content loss (means over views), and the
+            updated gram cache (input cache if mode is 'current').
+        """
+        num_levels = len(pred_pyramid)
+        v = target_content.shape[0]
+        all_layers = self.layers
+
+        pred_encs = [self._encode(vgg_params, p, all_layers) for p in pred_pyramid]
+        content_encs = self._encode(vgg_params, target_content, all_layers)
+
+        # --- per level/layer masks, factors, content targets (calculate_pyramid)
+        masks = [dict() for _ in range(num_levels)]
+        masks_passed = [dict() for _ in range(num_levels)]
+        masks_failed = [dict() for _ in range(num_levels)]
+        content_targets = [dict() for _ in range(num_levels)]
+        factors = [dict() for _ in range(num_levels)]
+
+        for i in range(num_levels):
+            mask = pyramid_masks[i].astype(jnp.float32)
+            hw = mask.shape[1:3]
+            passed = resize_bilinear(angle_degrees.astype(jnp.float32), hw) < self.angle_threshold
+            passed = passed.astype(jnp.float32)
+            for k in all_layers:
+                fhw = pred_encs[i][k].shape[1:3]
+                m = resize_nearest(mask, fhw)
+                masks[i][k] = m
+                masks_passed[i][k] = resize_nearest(mask * passed, fhw)
+                masks_failed[i][k] = resize_nearest(mask * (1.0 - passed), fhw)
+                content_targets[i][k] = resize_bilinear(
+                    content_encs[k].astype(jnp.float32), fhw)
+                factors[i][k] = jnp.mean(m.reshape(v, -1), axis=1)  # [V]
+
+        # --- normalize factors across levels per layer (reference :199-204),
+        # guarded against all-empty layers (reference would drop such batches).
+        for k in all_layers:
+            total = sum(factors[i][k] for i in range(num_levels))
+            safe = jnp.where(total > 0, total, 1.0)
+            for i in range(num_levels):
+                factors[i][k] = jnp.where(total > 0, factors[i][k] / safe, 0.0)
+
+        style_loss = jnp.zeros((), dtype=jnp.float32)
+        content_loss = jnp.zeros((), dtype=jnp.float32)
+        new_cache = gram_cache
+
+        for i in range(num_levels):
+            # Every style layer's cache has the same number of valid entries;
+            # snapshot it per level so all layers in this level agree
+            # (the reference's per-layer lists all grow by one per level).
+            level_count = new_cache.count if new_cache is not None else None
+            for li, k in enumerate(self.style_layers):
+                w = jnp.float32(self.style_weights[li])
+                f = factors[i][k]  # [V]
+
+                if self.style_pyramid_mode == "multi":
+                    y = style_targets.grams[k][2]
+                    y_hat = masked_gram(pred_encs[i][k].astype(jnp.float32),
+                                        masks_passed[i][k])
+                else:
+                    y = style_targets.grams[k][0]
+                    y_hat = masked_gram(pred_encs[i][k].astype(jnp.float32),
+                                        masks[i][k])
+
+                if self.gram_mode == "average":
+                    assert new_cache is not None, "gram_mode='average' needs a GramCache"
+                    y_hat_mean = jnp.mean(y_hat, axis=0)  # view-mean gram
+                    cache_k = new_cache.grams[k]
+                    n_detached = jnp.minimum(level_count, GRAM_CACHE_DEPTH - 1)
+                    slot = jax.lax.broadcasted_iota(
+                        jnp.int32, (GRAM_CACHE_DEPTH, 1, 1), 0)
+                    detached_sum = jnp.sum(
+                        jnp.where(slot < n_detached, jax.lax.stop_gradient(cache_k), 0.0),
+                        axis=0)
+                    denom = (n_detached + 1).astype(jnp.float32)
+                    # per-view current gram averaged with the detached history
+                    y_hat = (y_hat + detached_sum[None]) / denom
+                    # push the current (detached) view-mean gram into slot 0
+                    rolled = jnp.roll(cache_k, 1, axis=0)
+                    rolled = rolled.at[0].set(jax.lax.stop_gradient(y_hat_mean))
+                    new_cache = GramCache(
+                        grams={**new_cache.grams, k: rolled},
+                        count=jnp.minimum(level_count + 1, GRAM_CACHE_DEPTH),
+                    )
+
+                l = w * f * _mse_gram(y, y_hat)  # [V]
+
+                if self.style_pyramid_mode == "multi":
+                    # bad-angle areas are stylized only with the larger style
+                    # image (reference :328-333), active only when non-empty.
+                    y_hat_failed = masked_gram(pred_encs[i][k].astype(jnp.float32),
+                                               masks_failed[i][k])
+                    has_failed = (jnp.sum(masks_failed[i][k].reshape(v, -1), axis=1)
+                                  > 0).astype(jnp.float32)
+                    l = l + w * f * has_failed * _mse_gram(y, y_hat_failed)
+                    if li > 2:
+                        y_smaller = style_targets.grams[k][0]
+                        l = l + w * f * _mse_gram(y_smaller, y_hat)
+
+                style_loss = style_loss + jnp.mean(l)
+
+            for li, k in enumerate(self.content_layers):
+                f = factors[i][k]
+                l = masked_mse(content_targets[i][k],
+                               pred_encs[i][k].astype(jnp.float32), masks[i][k])
+                content_loss = content_loss + jnp.mean(
+                    jnp.float32(self.content_weights[li]) * f * l)
+
+        return style_loss, content_loss, new_cache

@@ -1,0 +1,290 @@
+"""The texture-optimization pipeline: one jitted train step, many views.
+
+Re-designs ``TextureOptimizationStyleTransferPipeline``
+(/root/reference/model/model.py:16-401) TPU-first:
+
+- The reference's *backward gradient hooks* for angle weighting and
+  depth-level interpolation (:195-251) multiply pixel gradients by constants;
+  here they become forward ``stop_gradient`` reweightings
+  (``sg(x) + w*(x - sg(x))`` has value exactly ``x`` and gradient ``w``),
+  making the whole step a pure ``value_and_grad``.
+- One step consumes a batch of V views (the reference: batch_size=1) — the
+  view axis is what a device mesh shards.
+- Adam(lr, wd=0) + StepLR(gamma, step_size epochs) (:387-401) via optax, with
+  the texture clamp to the Gatys range applied after each update (equivalent
+  to the reference's pre-forward in-place clamp, texture.py:41-44).
+- ``gram_mode='average'`` state is carried functionally in the train state.
+"""
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from stylemesh_tpu.data.schema import ViewBatch
+from stylemesh_tpu.models.losses import ContentAndStyleLoss, GramCache, StyleTargets
+from stylemesh_tpu.models.texture import (
+    Texture,
+    clamp_texture,
+    sample_texture,
+    texture_regularizer,
+)
+from stylemesh_tpu.models.vgg import VGG_LAYER_CHANNELS
+from stylemesh_tpu.ops.erosion import erode
+from stylemesh_tpu.ops.resize import resize_bilinear, resize_nearest
+
+
+def _grad_scale(x, w):
+    """Value ``x``, gradient ``w * dx`` — the forward-mode equivalent of the
+    reference's backward hooks (model.py:195-202, 245-251). ``x - sg(x)`` is
+    exactly zero in the forward pass, so the value is bit-identical."""
+    sg = jax.lax.stop_gradient(x)
+    return sg + w * (x - sg)
+
+
+def depth_pyramid_masks(batch: ViewBatch, level_shapes):
+    """Per-level loss masks from the per-pixel depth levels (model.py:210-221).
+
+    For level i: pixels whose nearest or 2nd-nearest depth level is i, inside
+    the UV mask, eroded 3x3, nearest-upsampled to the level resolution,
+    binarized.
+    """
+    masks = []
+    for i, hw in enumerate(level_shapes):
+        m1 = (batch.rounded_depth_level == i).astype(jnp.float32)
+        m2 = (batch.other_depth_level == i).astype(jnp.float32)
+        m = (m1 + m2) * batch.mask.astype(jnp.float32)
+        m = erode(m)
+        m = resize_nearest(m, hw)
+        masks.append((m > 0).astype(jnp.float32))
+    return masks
+
+
+def depth_interpolation_weights(batch: ViewBatch, level_shapes):
+    """Per-level gradient interpolation weights (model.py:223-239)."""
+    weights = []
+    mask = batch.mask.astype(jnp.float32)
+    w = batch.depth_level_weight.astype(jnp.float32)
+    for i, hw in enumerate(level_shapes):
+        m1 = erode((batch.rounded_depth_level == i).astype(jnp.float32) * mask)
+        m2 = erode((batch.other_depth_level == i).astype(jnp.float32) * mask)
+        m = m1 * w + m2 * (1.0 - w)
+        weights.append(resize_nearest(m, hw))
+    return weights
+
+
+def last_level_only_masks(batch: ViewBatch, level_shapes):
+    """No-depth-scaling masks: all levels empty except the last, which gets
+    the full UV mask (model.py:253-254)."""
+    masks = []
+    for i, hw in enumerate(level_shapes):
+        if i == len(level_shapes) - 1:
+            m = resize_nearest(batch.mask.astype(jnp.float32), hw)
+            masks.append((m > 0).astype(jnp.float32))
+        else:
+            v = batch.mask.shape[0]
+            masks.append(jnp.zeros((v,) + hw + (1,), dtype=jnp.float32))
+    return masks
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static configuration (mirrors the reference constructor kwargs,
+    model.py:25-60, plus TPU-specific knobs)."""
+
+    # texture
+    texture_width: int = 4096
+    texture_height: int = 4096
+    hierarchical_layers: int = 4
+    random_texture_init: bool = False
+
+    # loss
+    style_layers: Tuple[str, ...] = ("r11", "r21", "r31", "r41", "r51")
+    content_layers: Tuple[str, ...] = ("r42",)
+    style_weights: Tuple[float, ...] = tuple(1e3 / n ** 2 for n in (64, 128, 256, 512, 512))
+    content_weights: Tuple[float, ...] = (1.0,)
+    use_angle_weight: bool = True
+    use_depth_scaling: bool = True
+    angle_threshold: float = 60.0
+    style_pyramid_mode: str = "single"
+    gram_mode: str = "current"
+    num_style_levels: int = 5
+    style_min_size: int = 256
+
+    # loss weights (reference --loss_weight flags)
+    content_weight: float = 0.0
+    style_weight: float = 0.0
+    tex_reg_weight: float = 0.0
+    tex_reg_weights: Optional[Tuple[float, ...]] = None
+
+    # optimization
+    learning_rate: float = 1.0
+    decay_gamma: float = 0.1
+    decay_step_size: int = 30  # in epochs
+    steps_per_epoch: int = 1  # converts the epoch-based StepLR to steps
+
+    # numerics
+    compute_dtype: Optional[Any] = None  # e.g. jnp.bfloat16 for MXU speed
+    precision: Any = jax.lax.Precision.HIGHEST
+
+    def resolved_tex_reg_weights(self):
+        if self.tex_reg_weights is not None:
+            assert len(self.tex_reg_weights) == self.hierarchical_layers
+            return tuple(self.tex_reg_weights)
+        # reference default: [2^(L-1-i)], last layer 0 (model.py:86-88)
+        w = [2.0 ** (self.hierarchical_layers - i - 1)
+             for i in range(self.hierarchical_layers)]
+        if self.hierarchical_layers > 0:
+            w[-1] = 0.0
+        return tuple(w)
+
+    def loss_config(self) -> ContentAndStyleLoss:
+        return ContentAndStyleLoss(
+            style_layers=self.style_layers,
+            content_layers=self.content_layers,
+            style_weights=self.style_weights,
+            content_weights=self.content_weights,
+            angle_threshold=self.angle_threshold,
+            style_pyramid_mode=self.style_pyramid_mode,
+            gram_mode=self.gram_mode,
+            num_style_levels=self.num_style_levels,
+            style_min_size=self.style_min_size,
+            compute_dtype=self.compute_dtype,
+            precision=self.precision,
+        )
+
+
+class TrainState(NamedTuple):
+    texture: Texture
+    opt_state: Any
+    step: jax.Array
+    gram_cache: Optional[GramCache] = None
+
+
+class TexturePipeline:
+    """Builds and owns the pure train/eval step functions.
+
+    Usage::
+
+        pipe = TexturePipeline(config, vgg_params, style_image)
+        state = pipe.init()
+        state, metrics = pipe.train_step(state, batch)   # jit-compiled
+    """
+
+    def __init__(self, config: PipelineConfig, vgg_params, style_image):
+        self.config = config
+        self.vgg_params = vgg_params
+        self.loss = config.loss_config()
+        # Style Gram targets: computed once, folded into the jitted step as
+        # constants (reference recomputes per set_style_image, :273-286).
+        self.style_targets: StyleTargets = self.loss.set_style_image(
+            vgg_params, style_image)
+
+        schedule = optax.exponential_decay(
+            init_value=config.learning_rate,
+            transition_steps=config.decay_step_size * config.steps_per_epoch,
+            decay_rate=config.decay_gamma,
+            staircase=True,
+        )
+        self.optimizer = optax.adam(learning_rate=schedule, b1=0.9, b2=0.999,
+                                    eps=1e-8)
+        self._jit_train_step = jax.jit(self._train_step)
+        self._jit_eval_step = jax.jit(self._loss_and_metrics_only)
+
+    # ------------------------------------------------------------- state
+
+    def init(self, rng=None) -> TrainState:
+        cfg = self.config
+        texture = Texture.create(cfg.texture_width, cfg.texture_height, 3,
+                                 num_layers=cfg.hierarchical_layers,
+                                 random_init=cfg.random_texture_init, rng=rng)
+        texture = clamp_texture(texture)
+        gram_cache = None
+        if cfg.gram_mode == "average":
+            gram_cache = GramCache.create(cfg.style_layers, VGG_LAYER_CHANNELS)
+        return TrainState(
+            texture=texture,
+            opt_state=self.optimizer.init(texture),
+            step=jnp.zeros((), dtype=jnp.int32),
+            gram_cache=gram_cache,
+        )
+
+    # ------------------------------------------------------------- loss
+
+    def loss_fn(self, texture: Texture, batch: ViewBatch,
+                gram_cache: Optional[GramCache]):
+        cfg = self.config
+
+        # 1. render: sample the atlas at every UV pyramid level
+        pred_pyramid = [sample_texture(texture, uv) for uv in batch.uv]
+        level_shapes = [p.shape[1:3] for p in pred_pyramid]
+
+        # 2. gradient weighting (forward-mode equivalent of the hooks)
+        if cfg.use_angle_weight:
+            pred_pyramid = [
+                _grad_scale(p, resize_bilinear(
+                    batch.angle_guidance.astype(jnp.float32), hw))
+                for p, hw in zip(pred_pyramid, level_shapes)
+            ]
+        if cfg.use_depth_scaling:
+            interp = depth_interpolation_weights(batch, level_shapes)
+            pred_pyramid = [_grad_scale(p, w) for p, w in zip(pred_pyramid, interp)]
+            pyramid_masks = depth_pyramid_masks(batch, level_shapes)
+        else:
+            pyramid_masks = last_level_only_masks(batch, level_shapes)
+
+        # 3. content + style
+        style_loss, content_loss, new_cache = self.loss(
+            self.vgg_params, self.style_targets, pred_pyramid, batch.rgb,
+            pyramid_masks, batch.angle_degrees, gram_cache)
+
+        # 4. texture regularizer (model.py:163-171)
+        if cfg.tex_reg_weight > 0:
+            tex_reg = texture_regularizer(texture, self.resolved_reg_weights)
+        else:
+            tex_reg = jnp.zeros((), dtype=jnp.float32)
+
+        losses = {
+            "content": cfg.content_weight * content_loss,
+            "style": cfg.style_weight * style_loss,
+            "tex_reg": cfg.tex_reg_weight * tex_reg,
+        }
+        total = losses["content"] + losses["style"] + losses["tex_reg"]
+        losses["total"] = total
+        return total, (losses, new_cache)
+
+    @property
+    def resolved_reg_weights(self):
+        return self.config.resolved_tex_reg_weights()
+
+    # ------------------------------------------------------------- steps
+
+    def _train_step(self, state: TrainState, batch: ViewBatch):
+        (total, (losses, new_cache)), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True)(state.texture, batch, state.gram_cache)
+        updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                   state.texture)
+        texture = optax.apply_updates(state.texture, updates)
+        texture = clamp_texture(texture)
+        new_state = TrainState(
+            texture=texture,
+            opt_state=opt_state,
+            step=state.step + 1,
+            gram_cache=new_cache,
+        )
+        return new_state, losses
+
+    def _loss_and_metrics_only(self, state: TrainState, batch: ViewBatch):
+        total, (losses, _) = self.loss_fn(state.texture, batch, state.gram_cache)
+        return losses
+
+    def train_step(self, state: TrainState, batch: ViewBatch):
+        """One optimization step (jitted). Returns (new_state, loss dict)."""
+        return self._jit_train_step(state, batch)
+
+    def eval_step(self, state: TrainState, batch: ViewBatch):
+        """Validation losses without an update (jitted)."""
+        return self._jit_eval_step(state, batch)

@@ -1,0 +1,173 @@
+"""VGG-16 feature extractor (Gatys variant) as a pure JAX function.
+
+Mirrors the 16-conv/5-pool feature trunk the reference uses for the style and
+content losses (/root/reference/model/losses/content_and_style_losses.py:7-70):
+any subset of the 21 named activations ``r11..r54, p1..p5`` can be requested.
+
+TPU-first design choices:
+- NHWC layout (images channel-last) with HWIO kernels — XLA's native conv
+  layout on TPU.
+- Configurable compute dtype: ``bfloat16`` activations/weights feed the MXU
+  at full rate; accumulation stays fp32 via ``preferred_element_type``.
+- The network is pure: ``params`` is a dict pytree, no module state, freezing
+  is just not differentiating w.r.t. it.
+
+Weights come from the reference's ``vgg_conv.pth`` (torch state dict, OIHW)
+via :func:`convert_torch_state_dict`, stored as an ``.npz``.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (name, in_channels, out_channels) for the 13 convs of VGG-16 in trunk order.
+VGG_CONVS = [
+    ("conv1_1", 3, 64), ("conv1_2", 64, 64),
+    ("conv2_1", 64, 128), ("conv2_2", 128, 128),
+    ("conv3_1", 128, 256), ("conv3_2", 256, 256), ("conv3_3", 256, 256), ("conv3_4", 256, 256),
+    ("conv4_1", 256, 512), ("conv4_2", 512, 512), ("conv4_3", 512, 512), ("conv4_4", 512, 512),
+    ("conv5_1", 512, 512), ("conv5_2", 512, 512), ("conv5_3", 512, 512), ("conv5_4", 512, 512),
+]
+
+# Channel count of every named activation (relu outputs + pooled maps).
+VGG_LAYER_CHANNELS = {
+    "r11": 64, "r12": 64, "p1": 64,
+    "r21": 128, "r22": 128, "p2": 128,
+    "r31": 256, "r32": 256, "r33": 256, "r34": 256, "p3": 256,
+    "r41": 512, "r42": 512, "r43": 512, "r44": 512, "p4": 512,
+    "r51": 512, "r52": 512, "r53": 512, "r54": 512, "p5": 512,
+}
+
+# trunk order: (activation name, conv name or pool marker)
+_TRUNK = [
+    ("r11", "conv1_1"), ("r12", "conv1_2"), ("p1", None),
+    ("r21", "conv2_1"), ("r22", "conv2_2"), ("p2", None),
+    ("r31", "conv3_1"), ("r32", "conv3_2"), ("r33", "conv3_3"), ("r34", "conv3_4"), ("p3", None),
+    ("r41", "conv4_1"), ("r42", "conv4_2"), ("r43", "conv4_3"), ("r44", "conv4_4"), ("p4", None),
+    ("r51", "conv5_1"), ("r52", "conv5_2"), ("r53", "conv5_3"), ("r54", "conv5_4"), ("p5", None),
+]
+
+
+def init_vgg_params(rng=None, dtype=jnp.float32, scale=0.05):
+    """Random VGG params (tests / weight-free benchmarking)."""
+    rng = np.random.default_rng(0 if rng is None else rng)
+    params = {}
+    for name, cin, cout in VGG_CONVS:
+        params[name] = {
+            "kernel": jnp.asarray(
+                rng.normal(0.0, scale, size=(3, 3, cin, cout)), dtype=dtype),
+            "bias": jnp.asarray(rng.normal(0.0, scale, size=(cout,)), dtype=dtype),
+        }
+    return params
+
+
+def convert_torch_state_dict(state_dict):
+    """torch ``vgg_conv.pth`` state dict (OIHW numpy/tensors) -> params pytree."""
+    params = {}
+    for name, cin, cout in VGG_CONVS:
+        wk = state_dict[f"{name}.weight"]
+        bk = state_dict[f"{name}.bias"]
+        w = np.asarray(wk, dtype=np.float32)
+        b = np.asarray(bk, dtype=np.float32)
+        assert w.shape == (cout, cin, 3, 3), (name, w.shape)
+        params[name] = {
+            "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),  # OIHW -> HWIO
+            "bias": jnp.asarray(b),
+        }
+    return params
+
+
+def save_vgg_params(params, path):
+    flat = {}
+    for name, p in params.items():
+        flat[f"{name}.kernel"] = np.asarray(p["kernel"])
+        flat[f"{name}.bias"] = np.asarray(p["bias"])
+    np.savez(path, **flat)
+
+
+def load_vgg_params(path, dtype=jnp.float32):
+    data = np.load(path)
+    params = {}
+    for name, _, _ in VGG_CONVS:
+        params[name] = {
+            "kernel": jnp.asarray(data[f"{name}.kernel"], dtype=dtype),
+            "bias": jnp.asarray(data[f"{name}.bias"], dtype=dtype),
+        }
+    return params
+
+
+def _conv3x3(x, kernel, bias, precision):
+    out = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return (out + bias.astype(out.dtype)).astype(x.dtype)
+
+
+def _maxpool2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def _avgpool2(x):
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+    return s * 0.25
+
+
+def vgg_features(params, x, out_keys, pool="max", compute_dtype=None,
+                 precision=jax.lax.Precision.HIGHEST):
+    """Run the VGG-16 trunk and return the requested activations.
+
+    Args:
+        params: dict pytree from :func:`load_vgg_params` / :func:`init_vgg_params`.
+        x: ``[B, H, W, 3]`` Gatys-preprocessed image (BGR, mean-sub, 0..255).
+        out_keys: iterable of activation names (see :data:`VGG_LAYER_CHANNELS`).
+        pool: ``'max'`` (reference default) or ``'avg'``.
+        compute_dtype: cast inputs/weights to this dtype (e.g. ``jnp.bfloat16``
+            for MXU speed); ``None`` keeps the input dtype. Accumulation is
+            fp32 either way.
+        precision: conv precision; HIGHEST pins fp32 math for parity tests,
+            DEFAULT lets the platform use fast bf16 passes.
+    Returns:
+        dict name -> ``[B, h, w, c]`` activation (in compute dtype).
+    """
+    out_keys = list(out_keys)
+    wanted = set(out_keys)
+    # stop as soon as the deepest requested activation is produced
+    last_needed = max(i for i, (name, _) in enumerate(_TRUNK) if name in wanted)
+
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    pool_fn = _maxpool2 if pool == "max" else _avgpool2
+
+    outs = {}
+    h = x
+    for i, (name, conv) in enumerate(_TRUNK):
+        if conv is not None:
+            k = params[conv]["kernel"]
+            b = params[conv]["bias"]
+            if compute_dtype is not None:
+                k = k.astype(compute_dtype)
+            h = jax.nn.relu(_conv3x3(h, k, b, precision))
+        else:
+            h = pool_fn(h)
+        if name in wanted:
+            outs[name] = h
+        if i == last_needed:
+            break
+    return {k: outs[k] for k in out_keys}

@@ -1,0 +1,126 @@
+"""Bilinear texture sampling — the op the whole method hinges on.
+
+The reference "renders" by bilinearly sampling a texture atlas at baked
+per-pixel UV coordinates with ``torch.grid_sample(mode='bilinear',
+padding_mode='border', align_corners=True)``
+(/root/reference/model/texture/texture.py:46-54). Forward is a 4-corner
+gather; backward is a 4-corner scatter-add of pixel gradients into the atlas.
+
+This module implements those semantics with a custom VJP so the backward can
+be swapped between a pure-XLA scatter-add and a Pallas TPU kernel without
+touching callers. The texture is unbatched (one atlas shared by all views).
+
+Conventions:
+    texture: ``[H, W, C]`` channel-last.
+    grid:    ``[..., 2]`` with ``(x, y)`` in ``[-1, 1]``;
+             align_corners=True maps -1 -> pixel 0 and +1 -> pixel size-1.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _corner_indices_weights(grid, h, w):
+    """Clamped corner indices + bilinear weights for an align_corners=True,
+    border-padded sample. Returns int32 ``iy0, iy1, ix0, ix1`` and float
+    weights ``wy1, wx1`` (the '0' weights are one-minus)."""
+    dtype = grid.dtype
+    # align_corners=True: pix = (g + 1) / 2 * (size - 1)
+    px = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
+    py = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+    # border padding: clamp the *coordinate*, then take floor/ceil corners.
+    px = jnp.clip(px, 0.0, w - 1)
+    py = jnp.clip(py, 0.0, h - 1)
+    ix0 = jnp.floor(px).astype(jnp.int32)
+    iy0 = jnp.floor(py).astype(jnp.int32)
+    ix1 = jnp.minimum(ix0 + 1, w - 1)
+    iy1 = jnp.minimum(iy0 + 1, h - 1)
+    wx1 = (px - ix0.astype(dtype)).astype(dtype)
+    wy1 = (py - iy0.astype(dtype)).astype(dtype)
+    return iy0, iy1, ix0, ix1, wy1, wx1
+
+
+def _gather_pixels(texture_flat, iy, ix, w):
+    """Gather ``[..., C]`` pixels from a ``[H*W, C]`` flattened texture."""
+    idx = iy * w + ix
+    return jnp.take(texture_flat, idx.reshape(-1), axis=0).reshape(idx.shape + (texture_flat.shape[-1],))
+
+
+def _grid_sample_fwd_impl(texture, grid):
+    h, w, c = texture.shape
+    iy0, iy1, ix0, ix1, wy1, wx1 = _corner_indices_weights(grid, h, w)
+    flat = texture.reshape(h * w, c)
+    v00 = _gather_pixels(flat, iy0, ix0, w)
+    v01 = _gather_pixels(flat, iy0, ix1, w)
+    v10 = _gather_pixels(flat, iy1, ix0, w)
+    v11 = _gather_pixels(flat, iy1, ix1, w)
+    wy1e = wy1[..., None]
+    wx1e = wx1[..., None]
+    top = v00 * (1.0 - wx1e) + v01 * wx1e
+    bot = v10 * (1.0 - wx1e) + v11 * wx1e
+    return top * (1.0 - wy1e) + bot * wy1e
+
+
+def _scatter_add_grad(g, grid, h, w):
+    """Backward: scatter-add 4-corner-weighted pixel grads into the atlas."""
+    c = g.shape[-1]
+    iy0, iy1, ix0, ix1, wy1, wx1 = _corner_indices_weights(grid, h, w)
+    g2 = g.reshape(-1, c)
+    wy1f = wy1.reshape(-1, 1)
+    wx1f = wx1.reshape(-1, 1)
+    idx00 = (iy0 * w + ix0).reshape(-1)
+    idx01 = (iy0 * w + ix1).reshape(-1)
+    idx10 = (iy1 * w + ix0).reshape(-1)
+    idx11 = (iy1 * w + ix1).reshape(-1)
+    dtex = jnp.zeros((h * w, c), dtype=g.dtype)
+    dtex = dtex.at[idx00].add(g2 * (1.0 - wy1f) * (1.0 - wx1f))
+    dtex = dtex.at[idx01].add(g2 * (1.0 - wy1f) * wx1f)
+    dtex = dtex.at[idx10].add(g2 * wy1f * (1.0 - wx1f))
+    dtex = dtex.at[idx11].add(g2 * wy1f * wx1f)
+    return dtex.reshape(h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def grid_sample(texture, grid):
+    """Bilinear sample of ``texture [H,W,C]`` at ``grid [...,2]`` (x,y in [-1,1]).
+
+    torch parity: ``grid_sample(mode='bilinear', padding_mode='border',
+    align_corners=True)`` with the texture broadcast over the batch.
+    Differentiable w.r.t. ``texture`` only (UV grids are baked constants in
+    this pipeline, as in the reference where uv maps are dataset inputs).
+    """
+    return _grid_sample_fwd_impl(texture, grid)
+
+
+def _grid_sample_vjp_fwd(texture, grid):
+    return _grid_sample_fwd_impl(texture, grid), (grid, texture.shape)
+
+
+def _grid_sample_vjp_bwd(res, g):
+    grid, (h, w, _) = res
+    return _scatter_add_grad(g, grid, h, w), jnp.zeros_like(grid)
+
+
+grid_sample.defvjp(_grid_sample_vjp_fwd, _grid_sample_vjp_bwd)
+
+
+def grid_sample_nearest(texture, grid):
+    """Nearest-neighbor sample, border padding, align_corners=True.
+
+    torch parity for ``grid_sample(mode='nearest', ...)`` (used by the
+    reprojection eval, /root/reference/data/utils.py:150-165). torch rounds
+    with ``std::nearbyint`` — round-half-to-EVEN — which matters because the
+    eval's ``2x/W - 1`` grid convention puts many coordinates exactly on .5;
+    ``jnp.round`` is also half-to-even. Not differentiable (depth lookups).
+    """
+    h, w, c = texture.shape
+    px = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
+    py = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+    px = jnp.clip(px, 0.0, w - 1)
+    py = jnp.clip(py, 0.0, h - 1)
+    ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, h - 1)
+    flat = texture.reshape(h * w, c)
+    return _gather_pixels(flat, iy, ix, w)

@@ -1,0 +1,243 @@
+"""Training orchestration — the ``python -m model.optimize`` equivalent.
+
+Mirrors /root/reference/model/optimize.py:28-234: build the dataset, the
+style image and the pipeline; run the epoch loop (train + val) with per-epoch
+texture export; then chain the post-steps (styled-frame rendering, video
+assembly, reprojection evaluation).
+
+TPU deltas: views are batched per jitted step (``--views_per_batch``), the
+scene is packed once into a host cache, the optimizer is view-data-parallel
+across all visible chips when ``--data_parallel`` is set, and the post-train
+"mipmap render" (a native GL renderer in the reference) becomes texture
+sampling at the baked base-resolution UV maps.
+"""
+
+import dataclasses
+import json
+import os
+import time
+from os.path import join
+from typing import Optional
+
+import numpy as np
+
+from stylemesh_tpu.data.loading import SceneCache
+from stylemesh_tpu.data.sampling import batched, epoch_indices, make_split
+from stylemesh_tpu.data.scenes import (
+    discover_matterport_regions,
+    discover_scannet_scenes,
+    select_scene,
+)
+from stylemesh_tpu.models.pipeline import PipelineConfig, TexturePipeline
+from stylemesh_tpu.utils.checkpoint import (
+    save_texture_image,
+    save_texture_layers,
+    save_texture_npz,
+)
+from stylemesh_tpu.utils.logging import MetricsLogger, StepTimer
+
+
+@dataclasses.dataclass
+class RunConfig:
+    """Run-level options beyond PipelineConfig (dataset, schedule, IO)."""
+
+    root_path: str = ""
+    dataset: str = "scannet"  # 'scannet' | 'matterport'
+    matterport_region_index: int = 0
+    scene: str = ""
+    min_images: int = 1
+    max_images: int = -1
+    resize_size: int = 256
+    pyramid_levels: int = 8
+    min_pyramid_depth: float = 0.25
+    min_pyramid_height: int = 32
+    train_split: float = 0.8
+    val_split: float = 0.2
+    split_mode: str = "sequential"
+    sampler_mode: str = "repeat"
+    index_repeat: int = 1
+    shuffle: bool = False
+    max_epochs: int = 1
+    views_per_batch: int = 1
+    data_parallel: bool = False
+    save_texture: bool = True
+    log_dir: str = "runs"
+    vgg_model_path: str = ""
+    style_image_path: str = ""
+    seed: int = 0
+    run_post_steps: bool = True
+
+
+def load_style_image(path, max_size=2048):
+    """Style image -> [1, H, W, 3] Gatys-preprocessed (optimize.py:118-126)."""
+    from PIL import Image
+
+    from stylemesh_tpu.data.loading import gatys_pre_np
+
+    Image.MAX_IMAGE_PIXELS = 933120000
+    img = Image.open(path).convert("RGB")
+    if img.size[0] > max_size or img.size[1] > max_size:
+        # torchvision Resize(2048): shorter side -> 2048
+        w, h = img.size
+        if w < h:
+            img = img.resize((max_size, round(h * max_size / w)),
+                             Image.Resampling.BILINEAR)
+        else:
+            img = img.resize((round(w * max_size / h), max_size),
+                             Image.Resampling.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return gatys_pre_np(arr)[None]
+
+
+def load_vgg(path):
+    """Load VGG weights from a converted .npz, a torch vgg_conv.pth, or fall
+    back to random params (weight-free smoke runs)."""
+    from stylemesh_tpu.models.vgg import (
+        convert_torch_state_dict,
+        init_vgg_params,
+        load_vgg_params,
+    )
+
+    if path and path.endswith(".npz") and os.path.exists(path):
+        return load_vgg_params(path)
+    if path and os.path.exists(path):
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        return convert_torch_state_dict({k: v.numpy() for k, v in sd.items()})
+    print("WARNING: no VGG weights found — using random init "
+          "(style quality will be meaningless; timing is representative).")
+    return init_vgg_params(rng=0)
+
+
+def discover_scene(run: RunConfig):
+    kw = dict(pyramid_levels=run.pyramid_levels,
+              min_pyramid_height=run.min_pyramid_height,
+              min_pyramid_depth=run.min_pyramid_depth)
+    if run.dataset == "scannet":
+        scenes = discover_scannet_scenes(join(run.root_path, "train/images"), **kw)
+    elif run.dataset == "matterport":
+        scenes = discover_matterport_regions(
+            join(run.root_path, "v1/scans"),
+            region_index=run.matterport_region_index, **kw)
+    else:
+        raise ValueError(f"Unsupported dataset: {run.dataset}")
+    return select_scene(scenes, name=run.scene or None,
+                        min_images=run.min_images, max_images=run.max_images,
+                        seed=run.seed)
+
+
+def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
+                 scene_cache: Optional[SceneCache] = None,
+                 vgg_params=None, style_image=None):
+    """The full optimization loop. Returns (state, log_dir, scene_cache)."""
+    import jax
+
+    os.makedirs(run.log_dir, exist_ok=True)
+    version = len([d for d in os.listdir(run.log_dir) if d.startswith("version_")])
+    log_dir = join(run.log_dir, f"version_{version}")
+    os.makedirs(log_dir, exist_ok=True)
+    logger = MetricsLogger(log_dir)
+
+    if scene_cache is None:
+        spec = discover_scene(run)
+        print(f"Using scene: {spec.name}")
+        scene_cache = SceneCache(spec, resize_size=run.resize_size, verbose=True)
+    if vgg_params is None:
+        vgg_params = load_vgg(run.vgg_model_path)
+    if style_image is None:
+        style_image = load_style_image(run.style_image_path)
+
+    train_idx, val_idx = make_split(
+        scene_cache.num_views, split=(run.train_split, run.val_split),
+        split_mode=run.split_mode, shuffle=run.shuffle, seed=run.seed)
+
+    steps_per_epoch = max(
+        1, len(epoch_indices(train_idx, run.sampler_mode, run.index_repeat))
+        // run.views_per_batch)
+    pipe_cfg = dataclasses.replace(pipe_cfg, steps_per_epoch=steps_per_epoch)
+
+    if run.data_parallel and len(jax.devices()) > 1:
+        from stylemesh_tpu.parallel.train import ShardedTexturePipeline
+
+        pipe = ShardedTexturePipeline(pipe_cfg, vgg_params,
+                                      jax.numpy.asarray(style_image))
+    else:
+        pipe = TexturePipeline(pipe_cfg, vgg_params,
+                               jax.numpy.asarray(style_image))
+    state = pipe.init()
+
+    # reproducibility capture (reference optimize.py:93-102)
+    with open(join(log_dir, "run_config.json"), "w") as f:
+        json.dump({
+            "run": dataclasses.asdict(run),
+            "pipeline": {k: str(v) for k, v in dataclasses.asdict(pipe_cfg).items()},
+            "indices": {"train": train_idx, "val": val_idx},
+            "selected_scene": scene_cache.spec.name,
+            "levels": [float(l) for l in scene_cache.levels],
+        }, f, indent=2)
+
+    timer = StepTimer()
+    for epoch in range(run.max_epochs):
+        stream = epoch_indices(train_idx, run.sampler_mode, run.index_repeat,
+                               seed=run.seed + epoch)
+        for chunk in batched(stream, run.views_per_batch):
+            batch = scene_cache.get_batch(chunk)
+            state, losses = pipe.train_step(state, batch)
+            timer.tick()
+            logger.batch_losses("train", {k: float(v) for k, v in losses.items()},
+                                int(state.step))
+        # validation
+        for chunk in batched(epoch_indices(val_idx, "sequential"),
+                             run.views_per_batch):
+            batch = scene_cache.get_batch(chunk)
+            losses = pipe.eval_step(state, batch)
+            logger.batch_losses("val", {k: float(v) for k, v in losses.items()},
+                                int(state.step))
+        tr = logger.epoch_means("train", epoch)
+        va = logger.epoch_means("val", epoch)
+        print(f"epoch {epoch}: train {tr} val {va} "
+              f"({timer.steps_per_sec:.2f} steps/s, "
+              f"{timer.steps_per_sec * run.views_per_batch:.2f} views/s)")
+
+        if run.save_texture:
+            save_texture_layers(state.texture, log_dir, f"epoch_{epoch}")
+            save_texture_image(state.texture, log_dir, f"epoch_{epoch}_")
+    save_texture_npz(state.texture, join(log_dir, "texture.npz"))
+    logger.close()
+    return state, log_dir, scene_cache
+
+
+def render_styled_frames(texture, scene_cache: SceneCache, out_dir,
+                         level=-1):
+    """Render every cached view by sampling the trained texture at its baked
+    UV map — the post-train render step (the reference shells out to the
+    native mipmap renderer here, optimize.py:167-210)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from stylemesh_tpu.models.texture import sample_texture
+    from stylemesh_tpu.ops.color import gatys_post
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @jax.jit
+    def render(texture, uv, mask):
+        img = gatys_post(sample_texture(texture, uv))
+        return img * mask
+
+    paths = []
+    b = scene_cache._batch_all
+    uv = b.uv[level]
+    for p, idx in enumerate(scene_cache.indices):
+        mask_r = np.asarray(b.mask[p])
+        # mask is at content resolution; resize to uv level resolution
+        from stylemesh_tpu.ops.resize import resize_nearest
+
+        m = resize_nearest(jnp.asarray(mask_r), uv.shape[1:3])
+        img = np.asarray(render(texture, jnp.asarray(uv[p]), m))
+        path = join(out_dir, f"{idx}.png")
+        Image.fromarray((np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)).save(path)
+        paths.append(path)
+    return paths

@@ -1,0 +1,110 @@
+"""End-to-end parity of the content+style loss vs the torch oracle.
+
+The oracle (tests/torch_reference.py) replicates the reference's
+calculate_pyramid / forward semantics literally, including masked-feature
+gathering, factor normalization, the angle pass/fail split and gram modes.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from stylemesh_tpu.models.losses import ContentAndStyleLoss, GramCache
+from stylemesh_tpu.models.vgg import VGG_LAYER_CHANNELS, init_vgg_params
+from tests.torch_reference import RefLoss, torch_params_from_jax
+
+RNG = np.random.default_rng(7)
+
+STYLE_LAYERS = ("r11", "r21", "r31", "r41", "r51")
+CONTENT_LAYERS = ("r42",)
+STYLE_WEIGHTS = tuple(1e3 / n ** 2 for n in (64, 128, 256, 512, 512))
+
+
+def _setup(style_pyramid_mode="single", gram_mode="current", angle_threshold=60.0):
+    params = init_vgg_params(rng=5, scale=0.08)
+    loss = ContentAndStyleLoss(
+        style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+        style_weights=STYLE_WEIGHTS, content_weights=(1.0,),
+        angle_threshold=angle_threshold, style_pyramid_mode=style_pyramid_mode,
+        gram_mode=gram_mode, num_style_levels=5, style_min_size=32)
+    ref = RefLoss(torch_params_from_jax(params), STYLE_LAYERS, CONTENT_LAYERS,
+                  STYLE_WEIGHTS, (1.0,), angle_threshold=angle_threshold,
+                  style_pyramid_mode=style_pyramid_mode, gram_mode=gram_mode)
+    # style image big enough that the reversed pyramid has distinct entries
+    style = (RNG.random((1, 130, 180, 3)).astype(np.float32) - 0.45) * 255.0
+    targets = loss.set_style_image(params, jnp.asarray(style),)
+    ref.set_style_image(torch.from_numpy(np.moveaxis(style, -1, 1).copy()),
+                        minimum_size=32)
+    return params, loss, targets, ref
+
+
+def _rand_inputs(num_levels=2, hw=(48, 64)):
+    """Prediction pyramid (level sizes grow), content, masks, angles."""
+    preds, masks = [], []
+    for i in range(num_levels):
+        h, w = hw[0] * (i + 1), hw[1] * (i + 1)
+        preds.append(((RNG.random((1, h, w, 3)).astype(np.float32)) - 0.45) * 255.0)
+        m = (RNG.random((1, h, w, 1)) > 0.35).astype(np.float32)
+        masks.append(m)
+    content = (RNG.random((1,) + hw + (3,)).astype(np.float32) - 0.45) * 255.0
+    angle_deg = (RNG.random((1,) + hw + (1,)) * 90.0).astype(np.float32)
+    return preds, content, masks, angle_deg
+
+
+def _to_torch(preds, content, masks, angle_deg):
+    tp = [torch.from_numpy(np.moveaxis(p, -1, 1).copy()) for p in preds]
+    tc = torch.from_numpy(np.moveaxis(content, -1, 1).copy())
+    tm = [torch.from_numpy(np.moveaxis(m, -1, 1).copy()) for m in masks]
+    ta = torch.from_numpy(np.moveaxis(angle_deg, -1, 1).copy())
+    return tp, tc, tm, ta
+
+
+# tolerance: fp32 conv stacks accumulate ~1e-4 relative differences between
+# XLA and torch; losses are O(1e2..1e6) before weighting.
+REL = 5e-3
+
+
+@pytest.mark.parametrize("mode", ["single", "multi"])
+def test_loss_parity(mode):
+    params, loss, targets, ref = _setup(style_pyramid_mode=mode, angle_threshold=45.0)
+    preds, content, masks, angle = _rand_inputs()
+    s, c, _ = loss(params, targets, [jnp.asarray(p) for p in preds],
+                   jnp.asarray(content), [jnp.asarray(m) for m in masks],
+                   jnp.asarray(angle))
+    tp, tc, tm, ta = _to_torch(preds, content, masks, angle)
+    rs, rc = ref.forward(tp, tc, tm, ta)
+    np.testing.assert_allclose(float(s), float(rs), rtol=REL)
+    np.testing.assert_allclose(float(c), float(rc), rtol=REL)
+
+
+def test_loss_parity_empty_level():
+    """A level with an all-zero mask must contribute exactly like the
+    reference's dynamic level-dropping (factor 0)."""
+    params, loss, targets, ref = _setup()
+    preds, content, masks, angle = _rand_inputs()
+    masks[0] = np.zeros_like(masks[0])
+    s, c, _ = loss(params, targets, [jnp.asarray(p) for p in preds],
+                   jnp.asarray(content), [jnp.asarray(m) for m in masks],
+                   jnp.asarray(angle))
+    # reference drops empty levels before the loss (model.py:256-257)
+    tp, tc, tm, ta = _to_torch(preds[1:], content, masks[1:], angle)
+    rs, rc = ref.forward(tp, tc, tm, ta)
+    np.testing.assert_allclose(float(s), float(rs), rtol=REL)
+    np.testing.assert_allclose(float(c), float(rc), rtol=REL)
+
+
+def test_loss_parity_gram_average():
+    params, loss, targets, ref = _setup(gram_mode="average")
+    cache = GramCache.create(STYLE_LAYERS, VGG_LAYER_CHANNELS)
+    for step in range(3):
+        preds, content, masks, angle = _rand_inputs(num_levels=1)
+        s, c, cache = loss(params, targets, [jnp.asarray(preds[0])],
+                           jnp.asarray(content), [jnp.asarray(masks[0])],
+                           jnp.asarray(angle), gram_cache=cache)
+        tp, tc, tm, ta = _to_torch(preds, content, masks, angle)
+        rs, rc = ref.forward(tp, tc, tm, ta)
+        np.testing.assert_allclose(float(s), float(rs), rtol=REL,
+                                   err_msg=f"style step {step}")
+        np.testing.assert_allclose(float(c), float(rc), rtol=REL,
+                                   err_msg=f"content step {step}")

@@ -1,0 +1,134 @@
+"""Pipeline tests: depth-level golden values, full gradient parity vs the
+torch oracle (hooks + masked losses), and end-to-end loss decrease."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from stylemesh_tpu.data.depth_level import calculate_depth_level
+from stylemesh_tpu.data.synthetic import synthetic_view_batch
+from stylemesh_tpu.models.pipeline import PipelineConfig, TexturePipeline
+from stylemesh_tpu.models.texture import Texture
+from stylemesh_tpu.models.vgg import init_vgg_params
+from tests.torch_reference import RefLoss, ref_pipeline_grads, torch_params_from_jax
+
+RNG = np.random.default_rng(11)
+
+
+# ------------------------------------------------------------- depth level
+
+
+def _ref_depth_level(depth, levels, min_depth, min_uv_height=32):
+    """Literal reference math (scannet_dataset.py:330-366)."""
+    levels = np.asarray(levels, dtype=np.float64)
+    n = len(levels)
+    df = depth.squeeze() / min_depth
+    uvh = min_uv_height * df
+    x = np.subtract.outer(uvh, levels)
+    rounded = np.argmin(abs(x), axis=-1)
+    residues = levels[rounded] - uvh
+    disc = np.where(residues > 0, -1, 1)
+    disc[residues == 0] = 0
+    other = rounded + disc
+    other[other < 0] = 0
+    other[other >= n] = n - 1
+    hd = abs(levels[rounded] - levels[other])
+    lr = abs(residues / (hd + 1e-6))
+    lr[hd == 0] = 0
+    lr = 1 - lr
+    cont = np.where(residues > 0, other + lr, other - lr)
+    cont[lr == 1] = rounded[lr == 1]
+    return cont.astype(np.float32), rounded, other, lr.astype(np.float32)
+
+
+def test_depth_level_matches_reference():
+    depth = (RNG.random((24, 30)) * 6.0 + 0.05).astype(np.float32)
+    levels = [256.0, 432.0, 608.0, 784.0, 960.0]
+    ours = calculate_depth_level(depth, levels, min_depth=0.25)
+    ref = _ref_depth_level(depth, levels, 0.25)
+    np.testing.assert_allclose(ours[0], ref[0], atol=1e-4)
+    np.testing.assert_array_equal(ours[1], ref[1])
+    np.testing.assert_array_equal(ours[2], ref[2])
+    np.testing.assert_allclose(ours[3], ref[3], atol=1e-5)
+
+
+# ------------------------------------------------------------- grad parity
+
+
+def test_full_gradient_parity_vs_torch_hooks():
+    """Texture gradients of the jitted loss must match the reference's
+    hook-based backward for the full angle+depth configuration."""
+    batch = synthetic_view_batch(num_views=1, content_hw=(48, 64),
+                                 level_heights=(48, 72, 96), seed=3)
+    vgg = init_vgg_params(rng=9, scale=0.08)
+
+    cfg = PipelineConfig(
+        texture_width=64, texture_height=64, hierarchical_layers=2,
+        use_angle_weight=True, use_depth_scaling=True,
+        content_weight=7e1, style_weight=1e-4, tex_reg_weight=0.0,
+        angle_threshold=45.0, style_pyramid_mode="multi",
+        style_min_size=32,  # keep the style pyramid distinct at test sizes
+        learning_rate=1.0)
+    style = (RNG.random((1, 96, 128, 3)).astype(np.float32) - 0.45) * 255.0
+    pipe = TexturePipeline(cfg, vgg, jnp.asarray(style))
+
+    tex_np = [RNG.normal(0, 20, size=(64 // 2 ** i, 64 // 2 ** i, 3)).astype(np.float32)
+              for i in range(2)]
+    texture = Texture.from_arrays(tex_np)
+
+    (total, (losses, _)), grads = jax.value_and_grad(
+        pipe.loss_fn, has_aux=True)(texture, batch, None)
+
+    # --- torch oracle
+    ref_loss = RefLoss(torch_params_from_jax(vgg),
+                       cfg.style_layers, cfg.content_layers,
+                       cfg.style_weights, cfg.content_weights,
+                       angle_threshold=45.0, style_pyramid_mode="multi")
+    ref_loss.set_style_image(
+        torch.from_numpy(np.moveaxis(style, -1, 1).copy()), minimum_size=32)
+
+    def chw(x):
+        return torch.from_numpy(np.moveaxis(np.asarray(x), -1, 1).copy())
+
+    uv_grids = [torch.from_numpy(np.asarray(u).copy()) for u in batch.uv]
+    rtotal, rcontent, rstyle, rgrads = ref_pipeline_grads(
+        [torch.from_numpy(np.moveaxis(t, -1, 0).copy()) for t in tex_np],
+        uv_grids, chw(batch.rgb), chw(batch.mask), chw(batch.angle_guidance),
+        chw(batch.angle_degrees), chw(batch.rounded_depth_level),
+        chw(batch.other_depth_level), chw(batch.depth_level_weight),
+        ref_loss, content_weight=7e1, style_weight=1e-4)
+
+    np.testing.assert_allclose(float(total), rtotal, rtol=5e-3)
+    for ours, theirs in zip(grads.layers, rgrads):
+        theirs = np.moveaxis(theirs.squeeze(0) if theirs.ndim == 4 else theirs, 0, -1)
+        scale = max(np.abs(theirs).max(), 1e-8)
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-2 * scale)
+
+
+# ------------------------------------------------------------- end to end
+
+
+def test_train_step_decreases_loss():
+    batch = synthetic_view_batch(num_views=2, content_hw=(48, 64),
+                                 level_heights=(48, 72, 96), seed=5)
+    vgg = init_vgg_params(rng=4, scale=0.08)
+    cfg = PipelineConfig(
+        texture_width=128, texture_height=128, hierarchical_layers=2,
+        use_angle_weight=True, use_depth_scaling=True,
+        content_weight=7e1, style_weight=1e-4, tex_reg_weight=5e3,
+        learning_rate=0.5, decay_step_size=100, style_min_size=32,
+        style_pyramid_mode="single")
+    style = (RNG.random((1, 96, 128, 3)).astype(np.float32) - 0.45) * 255.0
+    pipe = TexturePipeline(cfg, vgg, jnp.asarray(style))
+    state = pipe.init()
+    first = None
+    last = None
+    for i in range(6):
+        state, losses = pipe.train_step(state, batch)
+        t = float(losses["total"])
+        if first is None:
+            first = t
+        last = t
+    assert last < first, (first, last)
+    assert int(state.step) == 6

@@ -1,0 +1,34 @@
+"""VGG-16 parity vs the torch oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from stylemesh_tpu.models.vgg import init_vgg_params, vgg_features
+from tests.torch_reference import torch_params_from_jax, vgg_forward
+
+RNG = np.random.default_rng(1)
+
+
+def test_vgg_features_match_torch():
+    params = init_vgg_params(rng=3)
+    tparams = torch_params_from_jax(params)
+    x = (RNG.random((1, 48, 64, 3)).astype(np.float32) - 0.45) * 255.0
+    keys = ["r11", "r21", "r31", "r41", "r42", "r51", "p5"]
+    ours = vgg_features(params, jnp.asarray(x), keys)
+    theirs = vgg_forward(tparams, torch.from_numpy(np.moveaxis(x, -1, 1).copy()), keys)
+    for k in keys:
+        a = np.asarray(ours[k])
+        b = np.moveaxis(theirs[k].numpy(), 1, -1)
+        assert a.shape == b.shape, k
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=2e-4 * scale, err_msg=k)
+
+
+def test_vgg_avg_pool():
+    params = init_vgg_params(rng=3)
+    x = jnp.asarray(RNG.random((1, 16, 16, 3)).astype(np.float32))
+    out_max = vgg_features(params, x, ["p1"], pool="max")["p1"]
+    out_avg = vgg_features(params, x, ["p1"], pool="avg")["p1"]
+    assert out_max.shape == out_avg.shape
+    assert float(jnp.max(out_avg)) <= float(jnp.max(out_max)) + 1e-6
