@@ -21,13 +21,23 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
+# persistent compile cache: the full-method graph compiles slowly on this
+# backend; repeated bench runs (and the driver's) hit the cache
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 REFERENCE_A100_VIEWS_PER_SEC = 4.0  # documented estimate, see module docstring
 BATCH_VIEWS = int(os.environ.get("BENCH_VIEWS", "2"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+
+
+def _log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -56,17 +66,22 @@ def main():
         level_heights=(256, 432, 608, 784), aspect=1280.0 / 960.0,
         min_depth=0.25, seed=0)
 
+    _log(f"devices: {jax.devices()}")
     pipe = TexturePipeline(cfg, vgg, style)
     state = pipe.init()
 
     # compile + warmup
+    _log("compiling train step (full-method graph; first run is slow)...")
+    t_c = time.perf_counter()
     state, losses = pipe.train_step(state, batch)
     jax.block_until_ready(losses)
+    _log(f"compile+first step: {time.perf_counter() - t_c:.1f}s")
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for i in range(STEPS):
         state, losses = pipe.train_step(state, batch)
-    jax.block_until_ready(losses)
+        jax.block_until_ready(losses)
+        _log(f"step {i}: {time.perf_counter() - t0:.2f}s elapsed")
     dt = time.perf_counter() - t0
 
     views_per_sec = STEPS * BATCH_VIEWS / dt

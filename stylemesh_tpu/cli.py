@@ -84,6 +84,9 @@ def build_parser():
 
     # TPU-native flags
     p.add_argument("--preset", default=None, choices=sorted(PRESETS.keys()))
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the jax platform (this image pins the TPU via "
+                        "sitecustomize, so JAX_PLATFORMS env has no effect)")
     p.add_argument("--data_parallel", default=False, action="store_true",
                    help="shard the view batch across all visible chips")
     p.add_argument("--bfloat16", default=False, action="store_true",
@@ -156,6 +159,14 @@ def configs_from_args(args):
 def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        try:
+            jax.config.update(
+                "jax_platforms", "cpu" if args.platform == "cpu" else "")
+        except RuntimeError:
+            pass  # backend already initialized
     if args.preset:
         args = apply_preset(args, args.preset)
     run, pipe_cfg = configs_from_args(args)

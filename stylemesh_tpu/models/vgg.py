@@ -99,15 +99,17 @@ def load_vgg_params(path, dtype=jnp.float32):
 
 
 def _conv3x3(x, kernel, bias, precision):
+    # No preferred_element_type: for bf16 inputs the MXU accumulates in fp32
+    # internally and a f32-preferred output breaks the conv transpose rule
+    # (f32 cotangent vs bf16 kernel); for f32 inputs the output is f32 anyway.
     out = jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
-        preferred_element_type=jnp.float32,
     )
-    return (out + bias.astype(out.dtype)).astype(x.dtype)
+    return out + bias.astype(out.dtype)
 
 
 def _maxpool2(x):

@@ -9,12 +9,14 @@ TPU-first: the per-view splat is one vectorized scatter-add instead of the
 reference's python loop over pixels.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def _splat_counts(uv_grid, mask, tex_h, tex_w):
     """One view: scatter 1s at the 4 texel corners under each valid pixel.
 
