@@ -61,6 +61,8 @@ class RunConfig:
     views_per_batch: int = 1
     data_parallel: bool = False
     save_texture: bool = True
+    checkpoint_every_steps: int = 0  # 0 = only per-epoch texture exports
+    resume_from: str = ""  # orbax checkpoint dir to restore
     log_dir: str = "runs"
     vgg_model_path: str = ""
     style_image_path: str = ""
@@ -166,6 +168,11 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         pipe = TexturePipeline(pipe_cfg, vgg_params,
                                jax.numpy.asarray(style_image))
     state = pipe.init()
+    if run.resume_from:
+        from stylemesh_tpu.utils.checkpoint import restore_train_state
+
+        state = restore_train_state(state, run.resume_from)
+        print(f"resumed from {run.resume_from} at step {int(state.step)}")
 
     # reproducibility capture (reference optimize.py:93-102)
     with open(join(log_dir, "run_config.json"), "w") as f:
@@ -187,6 +194,11 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
             timer.tick()
             logger.batch_losses("train", {k: float(v) for k, v in losses.items()},
                                 int(state.step))
+            if (run.checkpoint_every_steps
+                    and int(state.step) % run.checkpoint_every_steps == 0):
+                from stylemesh_tpu.utils.checkpoint import save_train_state
+
+                save_train_state(state, join(log_dir, "ckpt"))
         # validation
         for chunk in batched(epoch_indices(val_idx, "sequential"),
                              run.views_per_batch):
