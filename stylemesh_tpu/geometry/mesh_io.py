@@ -282,3 +282,44 @@ def load_mesh(path) -> Mesh:
     if str(path).endswith(".obj"):
         return load_obj(path)
     return load_ply(path)
+
+
+def save_ply(mesh: Mesh, path, binary=True):
+    """Write a PLY with per-vertex uv (``s``/``t`` properties) + normals +
+    colors — the ``*_uvs_blender.ply`` contract the pipeline consumes."""
+    v = np.asarray(mesh.vertices, np.float32)
+    parts = [v]
+    props = ["property float x", "property float y", "property float z"]
+    if mesh.normals is not None:
+        parts.append(np.asarray(mesh.normals, np.float32))
+        props += ["property float nx", "property float ny", "property float nz"]
+    if mesh.uvs is not None:
+        parts.append(np.asarray(mesh.uvs, np.float32))
+        props += ["property float s", "property float t"]
+    if mesh.colors is not None:
+        parts.append(np.asarray(mesh.colors, np.float32))
+        props += ["property float red", "property float green",
+                  "property float blue"]
+    vdata = np.concatenate(parts, axis=1).astype("<f4")
+    faces = np.asarray(mesh.faces, np.int32)
+
+    header = ["ply",
+              "format binary_little_endian 1.0" if binary else "format ascii 1.0",
+              f"element vertex {len(v)}", *props,
+              f"element face {len(faces)}",
+              "property list uchar int vertex_indices",
+              "end_header"]
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        if binary:
+            f.write(vdata.tobytes())
+            rec = np.empty(len(faces), dtype=[("n", "u1"), ("idx", "<i4", (3,))])
+            rec["n"] = 3
+            rec["idx"] = faces
+            f.write(rec.tobytes())
+        else:
+            for row in vdata:
+                f.write((" ".join(f"{x:g}" for x in row) + "\n").encode())
+            for face in faces:
+                f.write((f"3 {face[0]} {face[1]} {face[2]}\n").encode())
+    return path
