@@ -65,6 +65,13 @@ def main():
         num_views=BATCH_VIEWS, content_hw=(256, 341),
         level_heights=(256, 432, 608, 784), aspect=1280.0 / 960.0,
         min_depth=0.25, seed=0)
+    if os.environ.get("BENCH_NO_SPLAT_KERNEL") != "1":
+        from stylemesh_tpu.data.synthetic import with_splat_plans
+
+        layer_sizes = [(cfg.texture_height // 2 ** i, cfg.texture_width // 2 ** i)
+                       for i in range(cfg.hierarchical_layers)]
+        _log("planning Pallas splat windows...")
+        batch = with_splat_plans(batch, layer_sizes)
 
     _log(f"devices: {jax.devices()}")
     pipe = TexturePipeline(cfg, vgg, style)

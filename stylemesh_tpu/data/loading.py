@@ -194,12 +194,64 @@ class SceneCache:
     def levels(self):
         return self.spec.levels
 
+    def attach_splat_plans(self, layer_sizes):
+        """Precompute Pallas splat plans for every cached view and texture
+        layer (see ops/splat_plan.py). ``layer_sizes``: [(h, w)] per texture
+        layer. Plans are constants per scene; batches then assemble them by
+        slicing — no per-step host work."""
+        from stylemesh_tpu.ops.splat_plan import plan_splat
+
+        self._plan_layer_sizes = [
+            (h, w) if (h % 8 == 0 and w % 128 == 0) else None
+            for (h, w) in layer_sizes
+        ]
+        b = self._batch_all
+        self._view_plans = []  # [level][layer][view_pos] -> SplatPlan | None
+        self._plan_caps = []
+        for uv in b.uv:
+            per_layer = []
+            caps = []
+            for hw in self._plan_layer_sizes:
+                if hw is None:
+                    per_layer.append(None)
+                    caps.append(0)
+                    continue
+                plans = [plan_splat(np.asarray(uv[p]), hw[0], hw[1])
+                         for p in range(uv.shape[0])]
+                cap = max(1, max(p.res_count for p in plans))
+                cap = int(2 ** np.ceil(np.log2(cap)))
+                per_layer.append(plans)
+                caps.append(cap)
+            self._view_plans.append(per_layer)
+            self._plan_caps.append(caps)
+
+    def _assemble_plans(self, pos):
+        from stylemesh_tpu.ops.splat_plan import PlanArrays, pad_residuals
+
+        levels = []
+        for li, per_layer in enumerate(self._view_plans):
+            layer_plans = []
+            for yi, plans in enumerate(per_layer):
+                if plans is None:
+                    layer_plans.append(None)
+                    continue
+                sel = [plans[p] for p in pos]
+                origins = np.concatenate([p.origins for p in sel])
+                rt, rp, rw = pad_residuals(sel, cap=self._plan_caps[li][yi])
+                layer_plans.append(PlanArrays(origins=origins, res_texel=rt,
+                                              res_pixel=rp, res_weight=rw))
+            levels.append(tuple(layer_plans))
+        return tuple(levels)
+
     def get_batch(self, indices) -> ViewBatch:
         """Batch of dataset indices (positions resolved via the cache)."""
         pos = np.asarray([self._pos_of[i] for i in indices], dtype=np.int64)
         b = self._batch_all
         take = lambda x: x[pos]
+        splat_plans = (self._assemble_plans(pos)
+                       if getattr(self, "_view_plans", None) else None)
         return ViewBatch(
+            splat_plans=splat_plans,
             rgb=take(b.rgb),
             uv=tuple(take(u) for u in b.uv),
             mask=take(b.mask),

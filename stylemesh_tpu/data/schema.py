@@ -50,6 +50,9 @@ class ViewBatch(NamedTuple):
     intrinsics: jax.Array
     idx: jax.Array
     depth_level: Optional[jax.Array] = None
+    # Optional Pallas fast-path splat plans: tuple over pyramid levels of
+    # tuples over texture layers of PlanArrays (see ops/splat_plan.py).
+    splat_plans: Optional[Tuple] = None
 
     @property
     def num_views(self):

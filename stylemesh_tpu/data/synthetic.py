@@ -15,6 +15,24 @@ from stylemesh_tpu.data.depth_level import calculate_depth_level
 from stylemesh_tpu.data.schema import ViewBatch
 
 
+def with_splat_plans(batch: ViewBatch, layer_sizes):
+    """Attach Pallas splat plans for the given texture layer sizes to any
+    ViewBatch (host-side planning; layers not (8,128)-aligned get None and
+    fall back to the XLA scatter)."""
+    from stylemesh_tpu.ops.splat_plan import plan_arrays_for_views
+
+    plans = []
+    for uv in batch.uv:
+        per_layer = []
+        for (h, w) in layer_sizes:
+            if h % 8 or w % 128:
+                per_layer.append(None)
+            else:
+                per_layer.append(plan_arrays_for_views(np.asarray(uv), h, w))
+        plans.append(tuple(per_layer))
+    return batch._replace(splat_plans=tuple(plans))
+
+
 def synthetic_view_batch(num_views=2, content_hw=(64, 85),
                          level_heights=(64, 96, 128), aspect=4.0 / 3.0,
                          min_depth=0.25, seed=0, valid_fraction=0.85,

@@ -126,9 +126,10 @@ class PipelineConfig:
     decay_step_size: int = 30  # in epochs
     steps_per_epoch: int = 1  # converts the epoch-based StepLR to steps
 
-    # numerics
+    # numerics / kernels
     compute_dtype: Optional[Any] = None  # e.g. jnp.bfloat16 for MXU speed
     precision: Any = jax.lax.Precision.HIGHEST
+    use_splat_kernel: bool = True  # Pallas backward when plans are attached
 
     def resolved_tex_reg_weights(self):
         if self.tex_reg_weights is not None:
@@ -218,8 +219,15 @@ class TexturePipeline:
                 gram_cache: Optional[GramCache]):
         cfg = self.config
 
-        # 1. render: sample the atlas at every UV pyramid level
-        pred_pyramid = [sample_texture(texture, uv) for uv in batch.uv]
+        # 1. render: sample the atlas at every UV pyramid level (with the
+        # Pallas splat backward where the batch carries plans)
+        if batch.splat_plans is not None and cfg.use_splat_kernel:
+            pred_pyramid = [
+                sample_texture(texture, uv, plans=plans)
+                for uv, plans in zip(batch.uv, batch.splat_plans)
+            ]
+        else:
+            pred_pyramid = [sample_texture(texture, uv) for uv in batch.uv]
         level_shapes = [p.shape[1:3] for p in pred_pyramid]
 
         # 2. gradient weighting (forward-mode equivalent of the hooks)

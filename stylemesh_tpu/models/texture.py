@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from stylemesh_tpu.ops.color import GATYS_MAX, GATYS_MIN
-from stylemesh_tpu.ops.grid_sample import grid_sample
+from stylemesh_tpu.ops.grid_sample import grid_sample, grid_sample_planned
 
 
 class Texture(NamedTuple):
@@ -72,16 +72,23 @@ def clamp_texture(texture: Texture) -> Texture:
     return Texture(layers=tuple(jnp.clip(l, GATYS_MIN, GATYS_MAX) for l in texture.layers))
 
 
-def sample_texture(texture: Texture, grid):
+def sample_texture(texture: Texture, grid, plans=None):
     """Sample all layers at ``grid [..., 2]`` ((x,y) in [-1,1]) and sum.
 
     Matches ``HierarchicalNeuralTexture.forward`` (texture.py:96-100); for a
     single layer it is exactly ``NeuralTexture.forward`` minus the in-place
     clamp (applied at the optimizer instead).
+
+    ``plans``: optional per-layer splat plans (PlanArrays) enabling the
+    Pallas fast-path backward (identical gradients, ~30x faster scatter).
     """
-    out = grid_sample(texture.layers[0], grid)
-    for layer in texture.layers[1:]:
-        out = out + grid_sample(layer, grid)
+    out = None
+    for li, layer in enumerate(texture.layers):
+        if plans is not None and plans[li] is not None:
+            y = grid_sample_planned(layer, grid, plans[li])
+        else:
+            y = grid_sample(layer, grid)
+        out = y if out is None else out + y
     return out
 
 

@@ -106,6 +106,51 @@ def _grid_sample_vjp_bwd(res, g):
 grid_sample.defvjp(_grid_sample_vjp_fwd, _grid_sample_vjp_bwd)
 
 
+def _plan_zero_cotangents(plan):
+    import numpy as np
+
+    def zero(x):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return np.zeros(x.shape, jax.dtypes.float0)
+        return jnp.zeros_like(x)
+
+    return jax.tree.map(zero, plan)
+
+
+@jax.custom_vjp
+def grid_sample_planned(texture, grid, plan):
+    """Bilinear sample whose backward uses the Pallas splat kernel.
+
+    Identical forward/gradient semantics to :func:`grid_sample`, but the
+    scatter-add backward runs as the tiled MXU splat (measured ~30x faster
+    on TPU; see ops/splat_pallas.py). Requirements: ``grid`` is a batched
+    ``[V, H, W, 2]`` view grid, ``texture`` is ``[H, W, 3]`` with dims
+    divisible by (8, 128), and ``plan`` is the
+    :class:`stylemesh_tpu.ops.splat_plan.PlanArrays` for (grid, texture).
+    """
+    return _grid_sample_fwd_impl(texture, grid)
+
+
+def _grid_sample_planned_fwd(texture, grid, plan):
+    return _grid_sample_fwd_impl(texture, grid), (grid, plan, texture.shape)
+
+
+def _grid_sample_planned_bwd(res, g):
+    from stylemesh_tpu.ops.splat_pallas import splat_with_residual
+
+    grid, plan, (h, w, _) = res
+    # Mosaic path on real TPU backends ('tpu', this image's 'axon' tunnel);
+    # interpreter on CPU (tests / virtual meshes)
+    interpret = jax.default_backend() == "cpu"
+    dtex = splat_with_residual(g, grid, plan.origins, plan.res_texel,
+                               plan.res_pixel, plan.res_weight, h, w,
+                               interpret=interpret)
+    return dtex, jnp.zeros_like(grid), _plan_zero_cotangents(plan)
+
+
+grid_sample_planned.defvjp(_grid_sample_planned_fwd, _grid_sample_planned_bwd)
+
+
 def grid_sample_nearest(texture, grid):
     """Nearest-neighbor sample, border padding, align_corners=True.
 

@@ -145,6 +145,12 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         spec = discover_scene(run)
         print(f"Using scene: {spec.name}")
         scene_cache = SceneCache(spec, resize_size=run.resize_size, verbose=True)
+    if pipe_cfg.use_splat_kernel and not getattr(scene_cache, "_view_plans", None):
+        layer_sizes = [
+            (pipe_cfg.texture_height // 2 ** i, pipe_cfg.texture_width // 2 ** i)
+            for i in range(pipe_cfg.hierarchical_layers)
+        ]
+        scene_cache.attach_splat_plans(layer_sizes)
     if vgg_params is None:
         vgg_params = load_vgg(run.vgg_model_path)
     if style_image is None:

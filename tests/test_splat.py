@@ -1,0 +1,112 @@
+"""Pallas splat kernel correctness vs the reference XLA scatter-add backward
+(interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from stylemesh_tpu.ops.grid_sample import _scatter_add_grad
+from stylemesh_tpu.ops.splat_pallas import splat_pallas, splat_with_residual
+from stylemesh_tpu.ops.splat_plan import pad_residuals, plan_splat
+
+RNG = np.random.default_rng(71)
+
+
+def _smooth_uv(v, h, w, span=0.6, offset=0.15):
+    """Smooth per-view uv grids covering a sub-window of the atlas."""
+    grids = []
+    for i in range(v):
+        ys, xs = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                             indexing="ij")
+        u = offset + span * xs + 0.02 * i
+        vv = offset + span * ys
+        grids.append(np.stack([u * 2 - 1, vv * 2 - 1], -1))
+    return np.asarray(grids, np.float32)
+
+
+def _seamed_uv(v, h, w):
+    """uv with an island seam: right half jumps across the atlas."""
+    uv = _smooth_uv(v, h, w, span=0.25, offset=0.1)
+    uv[:, :, w // 2 - 20:, 0] += 1.2  # jump in x
+    return np.clip(uv, -1, 1)
+
+
+def _reference_grad(g, uv, tex_h, tex_w):
+    total = jnp.zeros((tex_h, tex_w, 3), jnp.float32)
+    for i in range(g.shape[0]):
+        total = total + _scatter_add_grad(jnp.asarray(g[i]), jnp.asarray(uv[i]),
+                                          tex_h, tex_w)
+    return np.asarray(total)
+
+
+def _run(uv, tex_h, tex_w, region_h=32, region_w=128):
+    v, h, w = uv.shape[:3]
+    g = RNG.normal(0, 1, size=(v, h, w, 3)).astype(np.float32)
+    plans = [plan_splat(uv[i], tex_h, tex_w, region_h, region_w)
+             for i in range(v)]
+    origins = np.concatenate([p.origins for p in plans])
+    rt, rp, rw = pad_residuals(plans)
+    out = splat_with_residual(
+        jnp.asarray(g), jnp.asarray(uv), jnp.asarray(origins),
+        jnp.asarray(rt), jnp.asarray(rp), jnp.asarray(rw),
+        tex_h, tex_w, region_h=region_h, region_w=region_w, interpret=True)
+    ref = _reference_grad(g, uv, tex_h, tex_w)
+    return np.asarray(out), ref, plans
+
+
+def test_splat_smooth_uv_no_residual():
+    uv = _smooth_uv(2, 24, 70, span=0.18)  # footprint fits the window
+    out, ref, plans = _run(uv, 128, 256)
+    assert all(p.res_count == 0 for p in plans)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_splat_with_island_seam_residual():
+    uv = _seamed_uv(1, 20, 128)
+    out, ref, plans = _run(uv, 128, 256)
+    assert plans[0].res_count > 0  # the seam forces residual routing
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_splat_border_clamp():
+    """uv beyond [-1,1] clamps to the border (duplicate-corner adds)."""
+    uv = _smooth_uv(1, 16, 64, span=1.4, offset=-0.2)  # exceeds the atlas
+    uv = uv.astype(np.float32)
+    out, ref, plans = _run(uv, 64, 128, region_h=64, region_w=128)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_splat_padded_pixels_ignored():
+    # h, w deliberately not multiples of the tile size
+    uv = _smooth_uv(1, 19, 45, span=0.2)
+    out, ref, _ = _run(uv, 128, 256)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_pipeline_gradients_with_plans_match():
+    """Train-step gradients via the planned (Pallas-interpret) backward must
+    equal the XLA scatter backward."""
+    import jax
+
+    from stylemesh_tpu.data.synthetic import synthetic_view_batch, with_splat_plans
+    from stylemesh_tpu.models.pipeline import PipelineConfig, TexturePipeline
+    from stylemesh_tpu.models.vgg import init_vgg_params
+
+    cfg = PipelineConfig(
+        texture_width=128, texture_height=128, hierarchical_layers=1,
+        content_weight=7e1, style_weight=1e-4, style_min_size=32,
+        use_angle_weight=True, use_depth_scaling=True)
+    vgg = init_vgg_params(rng=2, scale=0.08)
+    style = jnp.asarray((RNG.random((1, 96, 128, 3)).astype(np.float32) - 0.45) * 255)
+    batch = synthetic_view_batch(num_views=2, content_hw=(32, 42),
+                                 level_heights=(32, 48), seed=4)
+    pipe = TexturePipeline(cfg, vgg, style)
+    tex = pipe.init().texture
+
+    grads_plain = jax.grad(lambda t: pipe.loss_fn(t, batch, None)[0])(tex)
+    batch_p = with_splat_plans(batch, [(128, 128)])
+    grads_plan = jax.grad(lambda t: pipe.loss_fn(t, batch_p, None)[0])(tex)
+    for a, b in zip(grads_plain.layers, grads_plan.layers):
+        b = np.asarray(b)
+        # MXU vs scatter accumulation order: ~1e-4 relative on f32
+        np.testing.assert_allclose(np.asarray(a), b,
+                                   atol=5e-4 * max(np.abs(b).max(), 1.0))
