@@ -217,6 +217,13 @@ class TexturePipeline:
 
     def loss_fn(self, texture: Texture, batch: ViewBatch,
                 gram_cache: Optional[GramCache]):
+        return self.loss_with_targets(texture, self.style_targets, batch,
+                                      gram_cache)
+
+    def loss_with_targets(self, texture: Texture, style_targets,
+                          batch: ViewBatch, gram_cache: Optional[GramCache]):
+        """Loss with explicit style targets — the vmap axis for multi-style
+        sweeps (parallel/multistyle.py)."""
         cfg = self.config
 
         # 1. render: sample the atlas at every UV pyramid level (with the
@@ -246,7 +253,7 @@ class TexturePipeline:
 
         # 3. content + style
         style_loss, content_loss, new_cache = self.loss(
-            self.vgg_params, self.style_targets, pred_pyramid, batch.rgb,
+            self.vgg_params, style_targets, pred_pyramid, batch.rgb,
             pyramid_masks, batch.angle_degrees, gram_cache)
 
         # 4. texture regularizer (model.py:163-171)

@@ -119,20 +119,26 @@ def _plan_zero_cotangents(plan):
 
 @jax.custom_vjp
 def grid_sample_planned(texture, grid, plan):
-    """Bilinear sample whose backward uses the Pallas splat kernel.
+    """Bilinear sample running both directions as Pallas window kernels.
 
-    Identical forward/gradient semantics to :func:`grid_sample`, but the
-    scatter-add backward runs as the tiled MXU splat (measured ~30x faster
-    on TPU; see ops/splat_pallas.py). Requirements: ``grid`` is a batched
-    ``[V, H, W, 2]`` view grid, ``texture`` is ``[H, W, 3]`` with dims
-    divisible by (8, 128), and ``plan`` is the
-    :class:`stylemesh_tpu.ops.splat_plan.PlanArrays` for (grid, texture).
+    Identical values/gradients to :func:`grid_sample`, but the forward is the
+    tiled windowed gather and the backward the tiled MXU splat (measured ~16x
+    faster than the XLA scatter on TPU; see ops/splat_pallas.py).
+    Requirements: ``grid`` is a batched ``[V, H, W, 2]`` view grid,
+    ``texture`` is ``[H, W, 3]`` with dims divisible by (8, 128), and
+    ``plan`` is the :class:`stylemesh_tpu.ops.splat_plan.PlanArrays` for
+    (grid, texture).
     """
-    return _grid_sample_fwd_impl(texture, grid)
+    from stylemesh_tpu.ops.splat_pallas import gather_with_residual
+
+    interpret = jax.default_backend() == "cpu"
+    return gather_with_residual(texture, grid, plan.origins, plan.res_texel,
+                                plan.res_pixel, plan.res_weight,
+                                interpret=interpret)
 
 
 def _grid_sample_planned_fwd(texture, grid, plan):
-    return _grid_sample_fwd_impl(texture, grid), (grid, plan, texture.shape)
+    return grid_sample_planned(texture, grid, plan), (grid, plan, texture.shape)
 
 
 def _grid_sample_planned_bwd(res, g):

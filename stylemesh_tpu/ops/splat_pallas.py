@@ -38,14 +38,16 @@ from stylemesh_tpu.ops.splat_plan import (
 
 
 def _splat_kernel(tex_h, tex_w, region_h, region_w,
-                  origins_ref, uv_ref, g_ref, atlas_in_ref, atlas_ref,
+                  oy_ref, ox_ref, uv_ref, g_ref, atlas_in_ref, atlas_ref,
                   region, sem_in, sem_out):
     del atlas_in_ref  # aliased with atlas_ref
     i = pl.program_id(0)
     # the planner aligns origins to the (8, 128) HBM tile grid; the hint lets
-    # Mosaic prove the window DMA slice is tile-aligned
-    oy = pl.multiple_of(origins_ref[i, 0], 8)
-    ox = pl.multiple_of(origins_ref[i, 1], 128)
+    # Mosaic prove the window DMA slice is tile-aligned. Origins ship as two
+    # 1-D SMEM arrays (a [n, 2] operand pads its 2-wide dim to 128 lanes and
+    # blows the 1MB SMEM budget at larger view batches).
+    oy = pl.multiple_of(oy_ref[i], 8)
+    ox = pl.multiple_of(ox_ref[i], 128)
 
     # fetch the window [3, RH, RW]
     load = pltpu.make_async_copy(
@@ -143,11 +145,11 @@ def splat_pallas(g, uv, origins, tex_h, tex_w, region_h=None,
     atlas_zero = jnp.zeros((3, tex_h, tex_w), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 2, TILE_PX), lambda i, org: (i, 0, 0)),
-            pl.BlockSpec((1, 3, TILE_PX), lambda i, org: (i, 0, 0)),
+            pl.BlockSpec((1, 2, TILE_PX), lambda i, oy, ox: (i, 0, 0)),
+            pl.BlockSpec((1, 3, TILE_PX), lambda i, oy, ox: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # atlas (aliased out)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -163,11 +165,127 @@ def splat_pallas(g, uv, origins, tex_h, tex_w, region_h=None,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, tex_h, tex_w), jnp.float32),
-        input_output_aliases={3: 0},  # atlas input (after prefetch arg) -> out
+        input_output_aliases={4: 0},  # atlas input (after prefetch args) -> out
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(origins, uv_tiles, g_tiles, atlas_zero)
+    )(origins[:, 0], origins[:, 1], uv_tiles, g_tiles, atlas_zero)
     return out.transpose(1, 2, 0)
+
+
+def _gather_kernel(tex_h, tex_w, region_h, region_w,
+                   oy_ref, ox_ref, uv_ref, atlas_ref, out_ref,
+                   region, sem_in):
+    i = pl.program_id(0)
+    oy = pl.multiple_of(oy_ref[i], 8)
+    ox = pl.multiple_of(ox_ref[i], 128)
+
+    load = pltpu.make_async_copy(
+        atlas_ref.at[:, pl.ds(oy, region_h), pl.ds(ox, region_w)],
+        region, sem_in)
+    load.start()
+
+    uv = uv_ref[0]  # [2, TILE_PX]
+    u = uv[0:1, :]
+    v = uv[1:2, :]
+    px = jnp.clip((u + 1.0) * 0.5 * (tex_w - 1), 0.0, tex_w - 1)
+    py = jnp.clip((v + 1.0) * 0.5 * (tex_h - 1), 0.0, tex_h - 1)
+    ix0 = jnp.floor(px).astype(jnp.int32)
+    iy0 = jnp.floor(py).astype(jnp.int32)
+    ix1 = jnp.minimum(ix0 + 1, tex_w - 1)
+    iy1 = jnp.minimum(iy0 + 1, tex_h - 1)
+    wx1 = px - ix0.astype(jnp.float32)
+    wy1 = py - iy0.astype(jnp.float32)
+
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (region_h, TILE_PX), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (region_w, TILE_PX), 0)
+    row_w = ((iota_r == (iy0 - oy)).astype(jnp.float32) * (1.0 - wy1)
+             + (iota_r == (iy1 - oy)).astype(jnp.float32) * wy1)
+    col_w = ((iota_c == (ix0 - ox)).astype(jnp.float32) * (1.0 - wx1)
+             + (iota_c == (ix1 - ox)).astype(jnp.float32) * wx1)
+
+    load.wait()
+
+    for ch in range(3):
+        # pred[p] = sum_r rowW[r,p] * (T[ch] @ colW)[r,p]
+        u_rp = jax.lax.dot_general(
+            region[ch, :, :], col_w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # [RH, TILE_PX]
+        out_ref[0, ch, :] = jnp.sum(row_w * u_rp, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("region_h", "region_w",
+                                             "out_hw", "interpret"))
+def gather_pallas(texture_cfirst, uv, origins, out_hw, region_h=None,
+                  region_w=None, interpret=False):
+    """Windowed bilinear gather (forward twin of the splat; same plans).
+
+    Args:
+        texture_cfirst: ``[3, tex_h, tex_w]``.
+        uv: ``[V, H, W, 2]``.
+        out_hw: (H, W) of the pixel grid (static).
+    Returns:
+        ``[V, H, W, 3]`` samples, with contributions only from each tile's
+        window — the caller overlays the planner's residual corners.
+    """
+    from stylemesh_tpu.ops.splat_plan import effective_region
+
+    _, tex_h, tex_w = texture_cfirst.shape
+    region_h, region_w = effective_region(tex_h, tex_w, region_h, region_w)
+    uv_tiles = _tile_batch_cfirst(uv.astype(jnp.float32), -10.0)
+    n_tiles = uv_tiles.shape[0]
+    assert origins.shape[0] == n_tiles
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 2, TILE_PX), lambda i, oy, ox: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # atlas
+        ],
+        out_specs=pl.BlockSpec((1, 3, TILE_PX), lambda i, oy, ox: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((3, region_h, region_w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(_gather_kernel, tex_h, tex_w, region_h, region_w)
+    out_tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 3, TILE_PX), jnp.float32),
+        interpret=interpret,
+    )(origins[:, 0], origins[:, 1], uv_tiles, texture_cfirst)
+
+    # un-tile back to [V, H, W, 3]
+    v = uv.shape[0]
+    h, w = out_hw
+    hh = -(-h // TILE_H) * TILE_H
+    ww = -(-w // TILE_W) * TILE_W
+    x = out_tiles.reshape(v, hh // TILE_H, ww // TILE_W, 3, TILE_H, TILE_W)
+    x = x.transpose(0, 1, 4, 2, 5, 3).reshape(v, hh, ww, 3)
+    return x[:, :h, :w, :]
+
+
+def gather_with_residual(texture, uv, origins, res_texel, res_pixel,
+                         res_weight, interpret=False, **kw):
+    """Full planned forward: windowed gather + residual-corner overlay.
+
+    texture: ``[tex_h, tex_w, 3]`` (channel-last public layout).
+    Returns ``[V, H, W, 3]`` — identical values to the plain XLA gather.
+    """
+    v, h, w = uv.shape[:3]
+    out = gather_pallas(texture.transpose(2, 0, 1), uv, origins, (h, w),
+                        interpret=interpret, **kw)
+    flat_tex = texture.reshape(-1, 3)
+    vals = jnp.take(flat_tex, res_texel.reshape(-1), axis=0)
+    vals = vals * res_weight.reshape(-1, 1)
+    # batched scatter-add into the pixel grid (cap entries; cheap)
+    view_ids = jnp.repeat(jnp.arange(v, dtype=jnp.int32), res_pixel.shape[1])
+    flat_idx = view_ids * (h * w) + res_pixel.reshape(-1)
+    out_flat = out.reshape(v * h * w, 3).at[flat_idx].add(vals)
+    return out_flat.reshape(v, h, w, 3)
 
 
 def splat_with_residual(g, uv, origins, res_texel, res_pixel, res_weight,

@@ -110,3 +110,36 @@ def test_pipeline_gradients_with_plans_match():
         # MXU vs scatter accumulation order: ~1e-4 relative on f32
         np.testing.assert_allclose(np.asarray(a), b,
                                    atol=5e-4 * max(np.abs(b).max(), 1.0))
+
+
+def test_planned_forward_matches_xla_gather():
+    """NOTE: grid_sample_planned runs the kernels at the default region size,
+    so plans must be built with the defaults too (plan_arrays_for_views)."""
+    from stylemesh_tpu.ops.grid_sample import _grid_sample_fwd_impl, grid_sample_planned
+    from stylemesh_tpu.ops.splat_plan import plan_arrays_for_views
+
+    tex = RNG.normal(0, 1, (128, 256, 3)).astype(np.float32)
+    for name, uv in [("smooth", _smooth_uv(2, 24, 70, span=0.18)),
+                     ("clamped", _smooth_uv(1, 16, 64, span=1.4, offset=-0.2))]:
+        plan = plan_arrays_for_views(uv, 128, 256)
+        out = grid_sample_planned(jnp.asarray(tex), jnp.asarray(uv), plan)
+        ref = _grid_sample_fwd_impl(jnp.asarray(tex), jnp.asarray(uv))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, err_msg=name)
+
+
+def test_planned_forward_residual_path():
+    """A vertical UV seam on a tall atlas exceeds the 128-row window and
+    exercises the forward residual overlay."""
+    from stylemesh_tpu.ops.grid_sample import _grid_sample_fwd_impl, grid_sample_planned
+    from stylemesh_tpu.ops.splat_plan import plan_arrays_for_views, plan_splat
+
+    tex = RNG.normal(0, 1, (1024, 128, 3)).astype(np.float32)
+    uv = _smooth_uv(1, 32, 64, span=0.1, offset=0.1)
+    uv[:, 8:, :, 1] += 0.9  # jump in y inside the tiles
+    uv = np.clip(uv, -1, 1).astype(np.float32)
+    assert plan_splat(uv[0], 1024, 128).res_count > 0
+    plan = plan_arrays_for_views(uv, 1024, 128)
+    out = grid_sample_planned(jnp.asarray(tex), jnp.asarray(uv), plan)
+    ref = _grid_sample_fwd_impl(jnp.asarray(tex), jnp.asarray(uv))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
