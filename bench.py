@@ -32,7 +32,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 REFERENCE_A100_VIEWS_PER_SEC = 4.0  # documented estimate, see module docstring
-BATCH_VIEWS = int(os.environ.get("BENCH_VIEWS", "2"))
+BATCH_VIEWS = int(os.environ.get("BENCH_VIEWS", "4"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 
 

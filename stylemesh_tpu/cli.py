@@ -147,6 +147,7 @@ def configs_from_args(args):
         views_per_batch=args.batch_size,
         data_parallel=args.data_parallel,
         save_texture=args.save_texture,
+        log_images_nth=args.log_images_nth,
         log_dir=args.log_dir,
         vgg_model_path=args.vgg_gatys_model_path,
         style_image_path=args.style_image_path,

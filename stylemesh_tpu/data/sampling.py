@@ -42,7 +42,11 @@ def epoch_indices(indices: Sequence[int], sampler_mode="repeat", index_repeat=1,
         np.random.default_rng(seed).shuffle(out)
         return out
     if sampler_mode == "repeat":
-        return [i for i in indices for _ in range(index_repeat)]
+        if isinstance(index_repeat, int):
+            return [i for i in indices for _ in range(index_repeat)]
+        # per-index repeat counts (reference RepeatingSampler list form,
+        # abstract_dataset.py:501-506: indexed by the dataset index itself)
+        return [i for i in indices for _ in range(index_repeat[i])]
     raise ValueError(f"Unsupported sampler mode: {sampler_mode}")
 
 

@@ -81,6 +81,30 @@ class SensReader:
         self._f.close()
 
 
+def remap_labels(label_image, mapping):
+    """Remap a label image through a {raw_id: target_id} mapping — the
+    reference's label-export remap (prepare_2d_data.py label path + util.py).
+    ``mapping`` can come from :func:`load_label_mapping`."""
+    label = np.asarray(label_image)
+    out = np.zeros_like(label)
+    for src, dst in mapping.items():
+        out[label == src] = dst
+    return out
+
+
+def load_label_mapping(tsv_path, label_from="id", label_to="nyu40id"):
+    """Parse the ScanNet labels .tsv into a remap dict (util.py semantics)."""
+    import csv
+
+    mapping = {}
+    with open(tsv_path) as f:
+        reader = csv.DictReader(f, delimiter="\t")
+        for row in reader:
+            if row[label_from] and row[label_to]:
+                mapping[int(row[label_from])] = int(row[label_to])
+    return mapping
+
+
 def extract_sens(path, out_dir, frame_skip=20, image_size=(240, 320)):
     """Export a .sens to the scene layout (prepare_2d_data.py semantics:
     every ``frame_skip``-th frame, color resized to ``image_size`` (h, w),

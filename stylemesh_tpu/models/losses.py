@@ -87,6 +87,7 @@ class ContentAndStyleLoss:
     pool: str = "max"
     num_style_levels: int = 5
     style_min_size: int = 256  # pyramid floor (reference image_pyramid default)
+    remat: bool = True  # recompute VGG activations in backward (HBM headroom)
     compute_dtype: Optional[jnp.dtype] = None
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
@@ -144,7 +145,13 @@ class ContentAndStyleLoss:
         v = target_content.shape[0]
         all_layers = self.layers
 
-        pred_encs = [self._encode(vgg_params, p, all_layers) for p in pred_pyramid]
+        # the VGG activations of the prediction pyramid are the memory peak
+        # of the step (up to 960px x 64ch per level x batch); remat recomputes
+        # them in the backward for ~1/3 extra conv FLOPs
+        encode = lambda x: self._encode(vgg_params, x, all_layers)
+        if self.remat:
+            encode = jax.checkpoint(encode)
+        pred_encs = [encode(p) for p in pred_pyramid]
         content_encs = self._encode(vgg_params, target_content, all_layers)
 
         # --- per level/layer masks, factors, content targets (calculate_pyramid)

@@ -130,6 +130,7 @@ class PipelineConfig:
     compute_dtype: Optional[Any] = None  # e.g. jnp.bfloat16 for MXU speed
     precision: Any = jax.lax.Precision.HIGHEST
     use_splat_kernel: bool = True  # Pallas backward when plans are attached
+    remat_vgg: bool = True  # recompute VGG activations in backward
 
     def resolved_tex_reg_weights(self):
         if self.tex_reg_weights is not None:
@@ -153,6 +154,7 @@ class PipelineConfig:
             gram_mode=self.gram_mode,
             num_style_levels=self.num_style_levels,
             style_min_size=self.style_min_size,
+            remat=self.remat_vgg,
             compute_dtype=self.compute_dtype,
             precision=self.precision,
         )

@@ -61,6 +61,7 @@ class RunConfig:
     views_per_batch: int = 1
     data_parallel: bool = False
     save_texture: bool = True
+    log_images_nth: int = -1  # save pred/rgb/mask image grids every N steps
     checkpoint_every_steps: int = 0  # 0 = only per-epoch texture exports
     resume_from: str = ""  # orbax checkpoint dir to restore
     log_dir: str = "runs"
@@ -205,6 +206,9 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
                 from stylemesh_tpu.utils.checkpoint import save_train_state
 
                 save_train_state(state, join(log_dir, "ckpt"))
+            if (run.log_images_nth > 0
+                    and int(state.step) % run.log_images_nth == 0):
+                _log_image_grid(logger, state, batch, int(state.step))
         # validation
         for chunk in batched(epoch_indices(val_idx, "sequential"),
                              run.views_per_batch):
@@ -224,6 +228,38 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
     save_texture_npz(state.texture, join(log_dir, "texture.npz"))
     logger.close()
     return state, log_dir, scene_cache
+
+
+def _log_image_grid(logger, state, batch, step):
+    """The reference's Images/<state> grid (model.py:284-313): pred | photo |
+    mask | cos-angle | normalized depth, one row per view."""
+    import jax.numpy as jnp
+
+    from stylemesh_tpu.models.texture import sample_texture
+    from stylemesh_tpu.ops.color import gatys_post
+    from stylemesh_tpu.ops.resize import resize_bilinear
+
+    hw = batch.rgb.shape[1:3]
+    # pyramid level matching the content resolution (find_pyramid_size)
+    uv = None
+    for u in batch.uv:
+        if u.shape[1] == hw[0]:
+            uv = u
+            break
+    if uv is None:
+        uv = batch.uv[0]
+    pred = gatys_post(sample_texture(state.texture, jnp.asarray(uv)))
+    pred = resize_bilinear(pred, hw)
+    rgb = gatys_post(jnp.asarray(batch.rgb))
+    mask3 = np.repeat(np.asarray(batch.mask), 3, axis=-1)
+    angle3 = np.repeat(np.asarray(batch.angle_guidance), 3, axis=-1)
+    depth3 = np.repeat(np.asarray(batch.depth) / 10.0, 3, axis=-1)
+    rows = []
+    for v in range(batch.rgb.shape[0]):
+        rows.append(np.concatenate([
+            np.asarray(pred[v]) * mask3[v], np.asarray(rgb[v]), mask3[v],
+            angle3[v], np.clip(depth3[v], 0, 1)], axis=1))
+    logger.image("Images/train", np.concatenate(rows, axis=0), step)
 
 
 def render_styled_frames(texture, scene_cache: SceneCache, out_dir,
