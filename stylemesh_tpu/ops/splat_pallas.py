@@ -69,8 +69,11 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w,
     wx1 = px - ix0.astype(jnp.float32)
     wy1 = py - iy0.astype(jnp.float32)
 
-    # padded pixels (uv sentinel -10) contribute nothing
-    alive = (u > -5.0).astype(jnp.float32)  # [1, TILE_PX]
+    # padded pixels (uv sentinel -10) contribute nothing; background pixels
+    # (grid exactly (-1,-1) -> texel (0,0) with weight 1) are accumulated
+    # analytically by the wrapper (dense masked sum), not here
+    bg = jnp.logical_and(u == -1.0, v == -1.0)
+    alive = jnp.logical_and(u > -5.0, jnp.logical_not(bg)).astype(jnp.float32)
 
     # one-hot weights [R, TILE_PX]; out-of-window local indices match no iota
     # slot — exactly the planner's residual set
@@ -196,12 +199,16 @@ def _gather_kernel(tex_h, tex_w, region_h, region_w,
     wx1 = px - ix0.astype(jnp.float32)
     wy1 = py - iy0.astype(jnp.float32)
 
+    bg = jnp.logical_and(u == -1.0, v == -1.0)
+    alive = jnp.logical_and(u > -5.0, jnp.logical_not(bg)).astype(jnp.float32)
+
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (region_h, TILE_PX), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (region_w, TILE_PX), 0)
     row_w = ((iota_r == (iy0 - oy)).astype(jnp.float32) * (1.0 - wy1)
              + (iota_r == (iy1 - oy)).astype(jnp.float32) * wy1)
     col_w = ((iota_c == (ix0 - ox)).astype(jnp.float32) * (1.0 - wx1)
              + (iota_c == (ix1 - ox)).astype(jnp.float32) * wx1)
+    row_w = row_w * alive
 
     load.wait()
 
@@ -285,7 +292,10 @@ def gather_with_residual(texture, uv, origins, res_texel, res_pixel,
     view_ids = jnp.repeat(jnp.arange(v, dtype=jnp.int32), res_pixel.shape[1])
     flat_idx = view_ids * (h * w) + res_pixel.reshape(-1)
     out_flat = out.reshape(v * h * w, 3).at[flat_idx].add(vals)
-    return out_flat.reshape(v, h, w, 3)
+    out = out_flat.reshape(v, h, w, 3)
+    # analytic background: grid exactly (-1,-1) samples texel (0,0), weight 1
+    bg = jnp.logical_and(uv[..., 0] == -1.0, uv[..., 1] == -1.0)[..., None]
+    return jnp.where(bg, texture[0, 0][None, None, None, :], out)
 
 
 def splat_with_residual(g, uv, origins, res_texel, res_pixel, res_weight,
@@ -301,4 +311,10 @@ def splat_with_residual(g, uv, origins, res_texel, res_pixel, res_weight,
     upd = upd * res_weight[..., None]
     flat = atlas.reshape(-1, 3)
     flat = flat.at[res_texel.reshape(-1)].add(upd.reshape(-1, 3))
-    return flat.reshape(tex_h, tex_w, 3)
+    atlas = flat.reshape(tex_h, tex_w, 3)
+    # analytic background: every grid-(-1,-1) pixel adds its cotangent to
+    # texel (0,0) with weight 1 (a dense masked sum — these pixels would
+    # otherwise all be scatter residuals)
+    bg = jnp.logical_and(uv[..., 0] == -1.0, uv[..., 1] == -1.0)[..., None]
+    bg_sum = jnp.sum(g * bg.astype(g.dtype), axis=(0, 1, 2))
+    return atlas.at[0, 0, :].add(bg_sum)

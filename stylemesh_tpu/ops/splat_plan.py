@@ -114,15 +114,34 @@ def plan_splat(uv, tex_h, tex_w, region_h=None, region_w=None):
     n_tiles = uv_tiles.shape[0]
 
     iy0, iy1, ix0, ix1, wy1, wx1 = _corner_data(uv_tiles, tex_h, tex_w)
-    valid = uv_tiles[..., 0] > -5.0  # padded pixels excluded entirely
+    # padded pixels excluded entirely; background pixels (baked uv exactly 0
+    # -> grid exactly (-1,-1) -> texel (0,0) with weight 1) are handled
+    # analytically by the kernels (a dense masked sum / broadcast), so they
+    # must not pollute the window bbox nor the residual lists
+    valid = uv_tiles[..., 0] > -5.0
+    background = (uv_tiles[..., 0] == -1.0) & (uv_tiles[..., 1] == -1.0)
+    valid = valid & ~background
 
-    # region origin: tile-grid-aligned, clamped so the window fits the atlas
-    min_y = np.min(np.where(valid, iy0, tex_h - 1), axis=1)
-    min_x = np.min(np.where(valid, ix0, tex_w - 1), axis=1)
-    oy = (min_y // ALIGN_H) * ALIGN_H
-    ox = (min_x // ALIGN_W) * ALIGN_W
-    oy = np.clip(oy, 0, max(tex_h - region_h, 0)).astype(np.int32)
-    ox = np.clip(ox, 0, max(tex_w - region_w, 0)).astype(np.int32)
+    # region origin: if the tile's content bbox fits the window, anchor at
+    # its min; otherwise (island seams) center on the median so the majority
+    # side stays in-window. Tile-grid-aligned, clamped into the atlas.
+    def plan_axis(i0, size, region, align):
+        lo = np.min(np.where(valid, i0, size - 1), axis=1)
+        hi = np.max(np.where(valid, i0, 0), axis=1)
+        med = np.median(np.where(valid, i0.astype(np.float64), np.nan), axis=1)
+        med = np.nan_to_num(med, nan=0.0)
+        fits = (hi - lo) <= (region - align - 2)
+        o = np.where(fits, lo, np.maximum(med - region // 2, 0)).astype(np.int64)
+        o = (o // align) * align
+        return np.clip(o, 0, max(size - region, 0)).astype(np.int32)
+
+    # np.median with all-NaN rows warns; suppress (pure-background tiles)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        oy = plan_axis(iy0, tex_h, region_h, ALIGN_H)
+        ox = plan_axis(ix0, tex_w, region_w, ALIGN_W)
     origins = np.stack([oy, ox], axis=1)
 
     # in-region test per corner contribution (kernel replicates this exactly)

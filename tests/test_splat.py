@@ -143,3 +143,28 @@ def test_planned_forward_residual_path():
     out = grid_sample_planned(jnp.asarray(tex), jnp.asarray(uv), plan)
     ref = _grid_sample_fwd_impl(jnp.asarray(tex), jnp.asarray(uv))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_splat_background_pixels_analytic():
+    """Pixels at grid exactly (-1,-1) (baked-uv background) must hit texel
+    (0,0) with weight 1 via the analytic path — both directions."""
+    from stylemesh_tpu.ops.grid_sample import _grid_sample_fwd_impl
+    from stylemesh_tpu.ops.splat_pallas import gather_with_residual
+    from stylemesh_tpu.ops.splat_plan import pad_residuals
+
+    uv = _smooth_uv(1, 24, 70, span=0.15, offset=0.4)
+    uv[:, :6, :, :] = -1.0  # background strip
+    uv = uv.astype(np.float32)
+    out, ref, plans = _run(uv, 128, 256)
+    # backward: background never lands in the residual lists
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    tex = RNG.normal(0, 1, (128, 256, 3)).astype(np.float32)
+    origins = np.concatenate([p.origins for p in plans])
+    rt, rp, rw = pad_residuals(plans)
+    fwd = gather_with_residual(jnp.asarray(tex), jnp.asarray(uv),
+                               jnp.asarray(origins), jnp.asarray(rt),
+                               jnp.asarray(rp), jnp.asarray(rw),
+                               interpret=True, region_h=32, region_w=128)
+    ref_fwd = _grid_sample_fwd_impl(jnp.asarray(tex), jnp.asarray(uv))
+    np.testing.assert_allclose(np.asarray(fwd), np.asarray(ref_fwd), atol=1e-5)
