@@ -237,9 +237,12 @@ class SceneCache:
                     continue
                 sel = [plans[p] for p in pos]
                 origins = np.concatenate([p.origins for p in sel])
+                origins2 = np.concatenate([p.origins2 for p in sel])
+                has2 = np.concatenate([p.has2 for p in sel])
                 rt, rp, rw = pad_residuals(sel, cap=self._plan_caps[li][yi])
-                layer_plans.append(PlanArrays(origins=origins, res_texel=rt,
-                                              res_pixel=rp, res_weight=rw))
+                layer_plans.append(PlanArrays(
+                    origins=origins, origins2=origins2, has2=has2,
+                    res_texel=rt, res_pixel=rp, res_weight=rw))
             levels.append(tuple(layer_plans))
         return tuple(levels)
 

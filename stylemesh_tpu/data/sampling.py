@@ -50,6 +50,19 @@ def epoch_indices(indices: Sequence[int], sampler_mode="repeat", index_repeat=1,
     raise ValueError(f"Unsupported sampler mode: {sampler_mode}")
 
 
+def batched_repeat(indices: Sequence[int], batch_size: int, index_repeat: int):
+    """Repeat-mode batching: groups of ``batch_size`` *distinct* views, each
+    group repeated ``index_repeat`` times consecutively.
+
+    The view-batched equivalent of the reference's RepeatingSampler at
+    batch 1 (each view optimized for index_repeat consecutive steps): batches
+    hold distinct views (no wasted duplicate compute) and consecutive steps
+    reuse the same device-resident batch.
+    """
+    groups = batched(indices, batch_size)
+    return [g for g in groups for _ in range(index_repeat)]
+
+
 def batched(indices: Sequence[int], batch_size: int, drop_remainder=False,
             pad_to_full=True):
     """Split an index stream into view batches of size ``batch_size``.

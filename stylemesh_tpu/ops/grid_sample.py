@@ -132,9 +132,7 @@ def grid_sample_planned(texture, grid, plan):
     from stylemesh_tpu.ops.splat_pallas import gather_with_residual
 
     interpret = jax.default_backend() == "cpu"
-    return gather_with_residual(texture, grid, plan.origins, plan.res_texel,
-                                plan.res_pixel, plan.res_weight,
-                                interpret=interpret)
+    return gather_with_residual(texture, grid, plan, interpret=interpret)
 
 
 def _grid_sample_planned_fwd(texture, grid, plan):
@@ -148,9 +146,7 @@ def _grid_sample_planned_bwd(res, g):
     # Mosaic path on real TPU backends ('tpu', this image's 'axon' tunnel);
     # interpreter on CPU (tests / virtual meshes)
     interpret = jax.default_backend() == "cpu"
-    dtex = splat_with_residual(g, grid, plan.origins, plan.res_texel,
-                               plan.res_pixel, plan.res_weight, h, w,
-                               interpret=interpret)
+    dtex = splat_with_residual(g, grid, plan, h, w, interpret=interpret)
     return dtex, jnp.zeros_like(grid), _plan_zero_cotangents(plan)
 
 

@@ -27,7 +27,9 @@ class PlanArrays(NamedTuple):
     """Device-side splat plan for one (level, texture-layer) pair, batched
     over views (a jax pytree carried inside the ViewBatch)."""
 
-    origins: "np.ndarray"  # [V * n_tiles_per_view, 2] int32
+    origins: "np.ndarray"  # [V * n_tiles_per_view, 2] int32 (primary window)
+    origins2: "np.ndarray"  # [V * n_tiles_per_view, 2] int32 (seam window)
+    has2: "np.ndarray"  # [V * n_tiles_per_view] int32 0/1
     res_texel: "np.ndarray"  # [V, cap] int32
     res_pixel: "np.ndarray"  # [V, cap] int32
     res_weight: "np.ndarray"  # [V, cap] f32
@@ -93,7 +95,9 @@ class SplatPlan:
 
     tex_hw: Tuple[int, int]
     image_hw: Tuple[int, int]  # unpadded pixel grid
-    origins: np.ndarray  # [n_tiles, 2] int32 region origin (y, x)
+    origins: np.ndarray  # [n_tiles, 2] int32 primary window origin (y, x)
+    origins2: np.ndarray  # [n_tiles, 2] int32 secondary (seam) window origin
+    has2: np.ndarray  # [n_tiles] int32 0/1 — tile has a secondary window
     uv_tiles: np.ndarray  # [n_tiles, TILE_PX, 2] f32
     # residual scatter (contributions outside their tile's region)
     res_texel: np.ndarray  # [cap] int32 flat texel index
@@ -144,10 +148,10 @@ def plan_splat(uv, tex_h, tex_w, region_h=None, region_w=None):
         ox = plan_axis(ix0, tex_w, region_w, ALIGN_W)
     origins = np.stack([oy, ox], axis=1)
 
-    # in-region test per corner contribution (kernel replicates this exactly)
-    def in_region(iy, ix):
-        return ((iy >= oy[:, None]) & (iy < oy[:, None] + region_h)
-                & (ix >= ox[:, None]) & (ix < ox[:, None] + region_w) & valid)
+    # in-window test per corner contribution (kernels replicate this exactly)
+    def in_window(iy, ix, wy, wx):
+        return ((iy >= wy[:, None]) & (iy < wy[:, None] + region_h)
+                & (ix >= wx[:, None]) & (ix < wx[:, None] + region_w) & valid)
 
     corners = [
         (iy0, ix0, (1 - wy1) * (1 - wx1)),
@@ -155,6 +159,25 @@ def plan_splat(uv, tex_h, tex_w, region_h=None, region_w=None):
         (iy1, ix0, wy1 * (1 - wx1)),
         (iy1, ix1, wy1 * wx1),
     ]
+
+    # secondary window for island-seam tiles: plan over the corner
+    # contributions the primary window missed
+    out1 = [valid & ~in_window(iy, ix, oy, ox) for iy, ix, _ in corners]
+    any_out = np.zeros((n_tiles, TILE_PX), bool)
+    lo_y = np.full((n_tiles,), tex_h - 1, np.int64)
+    lo_x = np.full((n_tiles,), tex_w - 1, np.int64)
+    for (iy, ix, _), o in zip(corners, out1):
+        any_out |= o
+        lo_y = np.minimum(lo_y, np.min(np.where(o, iy, tex_h - 1), axis=1))
+        lo_x = np.minimum(lo_x, np.min(np.where(o, ix, tex_w - 1), axis=1))
+    has2 = any_out.any(axis=1).astype(np.int32)
+    oy2 = np.clip((lo_y // ALIGN_H) * ALIGN_H, 0,
+                  max(tex_h - region_h, 0)).astype(np.int32)
+    ox2 = np.clip((lo_x // ALIGN_W) * ALIGN_W, 0,
+                  max(tex_w - region_w, 0)).astype(np.int32)
+    oy2 = np.where(has2 > 0, oy2, 0).astype(np.int32)
+    ox2 = np.where(has2 > 0, ox2, 0).astype(np.int32)
+    origins2 = np.stack([oy2, ox2], axis=1)
 
     # residuals: contributions of valid pixels falling outside the region
     res_t, res_p, res_w = [], [], []
@@ -168,9 +191,9 @@ def plan_splat(uv, tex_h, tex_w, region_h=None, region_w=None):
     px_img = t_cols[:, None] * TILE_W + in_tile[None] % TILE_W
     pix_flat = py_img * w + px_img  # valid only where px_img < w, py_img < h
 
-    for iy, ix, wgt in corners:
-        inside = in_region(iy, ix)
-        out = valid & ~inside
+    for (iy, ix, wgt), o1 in zip(corners, out1):
+        # residual = outside the primary AND the secondary window
+        out = o1 & ~in_window(iy, ix, oy2, ox2)
         if out.any():
             sel = np.nonzero(out)
             res_t.append((iy[sel] * tex_w + ix[sel]).astype(np.int32))
@@ -187,6 +210,7 @@ def plan_splat(uv, tex_h, tex_w, region_h=None, region_w=None):
         res_weight = np.zeros((0,), np.float32)
     return SplatPlan(
         tex_hw=(tex_h, tex_w), image_hw=(h, w), origins=origins,
+        origins2=origins2, has2=has2,
         uv_tiles=uv_tiles, res_texel=res_texel, res_pixel=res_pixel,
         res_weight=res_weight, res_count=len(res_texel))
 
@@ -198,8 +222,11 @@ def plan_arrays_for_views(uv_views, tex_h, tex_w, cap=None,
                         region_h, region_w)
              for i in range(uv_views.shape[0])]
     origins = np.concatenate([p.origins for p in plans])
+    origins2 = np.concatenate([p.origins2 for p in plans])
+    has2 = np.concatenate([p.has2 for p in plans])
     rt, rp, rw = pad_residuals(plans, cap=cap)
-    return PlanArrays(origins=origins, res_texel=rt, res_pixel=rp,
+    return PlanArrays(origins=origins, origins2=origins2, has2=has2,
+                      res_texel=rt, res_pixel=rp,
                       res_weight=rw)
 
 

@@ -192,11 +192,32 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         }, f, indent=2)
 
     timer = StepTimer()
+    # chunk -> device-resident batch: with the repeat sampler the same views
+    # recur for index_repeat consecutive steps, so host assembly + H2D
+    # amortize to ~zero (the reference pays DataLoader decode every step)
+    last_chunk, last_batch = None, None
+
+    def get_device_batch(chunk):
+        nonlocal last_chunk, last_batch
+        key = tuple(chunk)
+        if key != last_chunk:
+            last_batch = jax.device_put(scene_cache.get_batch(chunk))
+            last_chunk = key
+        return last_batch
+
     for epoch in range(run.max_epochs):
-        stream = epoch_indices(train_idx, run.sampler_mode, run.index_repeat,
-                               seed=run.seed + epoch)
-        for chunk in batched(stream, run.views_per_batch):
-            batch = scene_cache.get_batch(chunk)
+        if run.sampler_mode == "repeat" and isinstance(run.index_repeat, int) \
+                and run.index_repeat > 1:
+            from stylemesh_tpu.data.sampling import batched_repeat
+
+            chunks = batched_repeat(train_idx, run.views_per_batch,
+                                    run.index_repeat)
+        else:
+            stream = epoch_indices(train_idx, run.sampler_mode,
+                                   run.index_repeat, seed=run.seed + epoch)
+            chunks = batched(stream, run.views_per_batch)
+        for chunk in chunks:
+            batch = get_device_batch(chunk)
             state, losses = pipe.train_step(state, batch)
             timer.tick()
             logger.batch_losses("train", {k: float(v) for k, v in losses.items()},

@@ -6,7 +6,21 @@ import numpy as np
 
 from stylemesh_tpu.ops.grid_sample import _scatter_add_grad
 from stylemesh_tpu.ops.splat_pallas import splat_pallas, splat_with_residual
-from stylemesh_tpu.ops.splat_plan import pad_residuals, plan_splat
+from stylemesh_tpu.ops.splat_plan import (
+    PlanArrays,
+    pad_residuals,
+    plan_splat,
+)
+
+
+def _to_plan_arrays(plans):
+    rt, rp, rw = pad_residuals(plans)
+    return PlanArrays(
+        origins=jnp.asarray(np.concatenate([p.origins for p in plans])),
+        origins2=jnp.asarray(np.concatenate([p.origins2 for p in plans])),
+        has2=jnp.asarray(np.concatenate([p.has2 for p in plans])),
+        res_texel=jnp.asarray(rt), res_pixel=jnp.asarray(rp),
+        res_weight=jnp.asarray(rw))
 
 RNG = np.random.default_rng(71)
 
@@ -43,11 +57,8 @@ def _run(uv, tex_h, tex_w, region_h=32, region_w=128):
     g = RNG.normal(0, 1, size=(v, h, w, 3)).astype(np.float32)
     plans = [plan_splat(uv[i], tex_h, tex_w, region_h, region_w)
              for i in range(v)]
-    origins = np.concatenate([p.origins for p in plans])
-    rt, rp, rw = pad_residuals(plans)
     out = splat_with_residual(
-        jnp.asarray(g), jnp.asarray(uv), jnp.asarray(origins),
-        jnp.asarray(rt), jnp.asarray(rp), jnp.asarray(rw),
+        jnp.asarray(g), jnp.asarray(uv), _to_plan_arrays(plans),
         tex_h, tex_w, region_h=region_h, region_w=region_w, interpret=True)
     ref = _reference_grad(g, uv, tex_h, tex_w)
     return np.asarray(out), ref, plans
@@ -60,10 +71,24 @@ def test_splat_smooth_uv_no_residual():
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
-def test_splat_with_island_seam_residual():
+def test_splat_with_island_seam_second_window():
     uv = _seamed_uv(1, 20, 128)
     out, ref, plans = _run(uv, 128, 256)
-    assert plans[0].res_count > 0  # the seam forces residual routing
+    # the seam now engages the secondary window instead of residuals
+    assert plans[0].has2.sum() > 0
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_splat_three_island_residual():
+    """Three uv clusters in one tile: primary + secondary windows plus a
+    non-empty residual remainder."""
+    uv = _smooth_uv(1, 16, 64, span=0.05, offset=0.05)
+    uv[:, :, 20:40, 1] += 0.5
+    uv[:, :, 40:, 1] += 1.2
+    uv = np.clip(uv, -1, 1).astype(np.float32)
+    out, ref, plans = _run(uv, 1024, 128, region_h=32, region_w=128)
+    assert plans[0].has2.sum() > 0
+    assert plans[0].res_count > 0
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
@@ -160,11 +185,8 @@ def test_splat_background_pixels_analytic():
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
     tex = RNG.normal(0, 1, (128, 256, 3)).astype(np.float32)
-    origins = np.concatenate([p.origins for p in plans])
-    rt, rp, rw = pad_residuals(plans)
     fwd = gather_with_residual(jnp.asarray(tex), jnp.asarray(uv),
-                               jnp.asarray(origins), jnp.asarray(rt),
-                               jnp.asarray(rp), jnp.asarray(rw),
+                               _to_plan_arrays(plans),
                                interpret=True, region_h=32, region_w=128)
     ref_fwd = _grid_sample_fwd_impl(jnp.asarray(tex), jnp.asarray(uv))
     np.testing.assert_allclose(np.asarray(fwd), np.asarray(ref_fwd), atol=1e-5)
