@@ -32,7 +32,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 REFERENCE_A100_VIEWS_PER_SEC = 4.0  # documented estimate, see module docstring
-BATCH_VIEWS = int(os.environ.get("BENCH_VIEWS", "4"))
+BATCH_VIEWS = int(os.environ.get("BENCH_VIEWS", "2"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 
 
@@ -41,6 +41,19 @@ def _log(msg):
 
 
 def main():
+    try:
+        _run_bench(BATCH_VIEWS)
+    except Exception as e:  # HBM headroom varies with kernel versions
+        if "RESOURCE_EXHAUSTED" not in str(e) or BATCH_VIEWS <= 1:
+            raise
+        _log(f"V={BATCH_VIEWS} exhausted HBM; retrying V=1")
+        import gc
+
+        gc.collect()
+        _run_bench(1)
+
+
+def _run_bench(batch_views):
     import jax
     import jax.numpy as jnp
 
@@ -56,13 +69,15 @@ def main():
         learning_rate=1.0, decay_step_size=3,
         compute_dtype=jnp.bfloat16,
         precision=jax.lax.Precision.DEFAULT,
+        # V<=2 fits HBM without remat; larger batches re-enable it
+        remat_vgg=batch_views > 2,
     )
     vgg = init_vgg_params(rng=0, scale=0.05)
     rng = np.random.default_rng(0)
     style = jnp.asarray((rng.random((1, 512, 683, 3), dtype=np.float32) - 0.45) * 255.0)
 
     batch = synthetic_view_batch(
-        num_views=BATCH_VIEWS, content_hw=(256, 341),
+        num_views=batch_views, content_hw=(256, 341),
         level_heights=(256, 432, 608, 784), aspect=1280.0 / 960.0,
         min_depth=0.25, seed=0)
     if os.environ.get("BENCH_NO_SPLAT_KERNEL") != "1":
@@ -91,7 +106,7 @@ def main():
         _log(f"step {i}: {time.perf_counter() - t0:.2f}s elapsed")
     dt = time.perf_counter() - t0
 
-    views_per_sec = STEPS * BATCH_VIEWS / dt
+    views_per_sec = STEPS * batch_views / dt
     print(json.dumps({
         "metric": "views_per_sec_per_chip_full_method_4096sq_x4",
         "value": round(views_per_sec, 3),
