@@ -17,7 +17,7 @@ from stylemesh_tpu.models.losses import (
 )
 from stylemesh_tpu.models.pipeline import PipelineConfig
 from stylemesh_tpu.optimize import RunConfig, render_styled_frames, run_training
-from stylemesh_tpu.presets import PRESETS, apply_preset
+from stylemesh_tpu.presets import PRESETS, apply_preset, explicit_cli_keys
 
 
 def build_parser():
@@ -31,7 +31,7 @@ def build_parser():
     p.add_argument("--split_mode", default="sequential", choices=["folder", "sequential"])
     p.add_argument("--scene", default="")
     p.add_argument("--max_images", default=-1, type=int)
-    p.add_argument("--min_images", default=1000, type=int)
+    p.add_argument("--min_images", default=1, type=int)
     p.add_argument("--resize_size", default=256, type=int)
     p.add_argument("--texture_size", default="512,512",
                    type=lambda s: [int(f) for f in s.split(",")])
@@ -169,7 +169,8 @@ def main(argv=None):
         except RuntimeError:
             pass  # backend already initialized
     if args.preset:
-        args = apply_preset(args, args.preset)
+        args = apply_preset(args, args.preset,
+                            explicit=explicit_cli_keys(build_parser, argv))
     run, pipe_cfg = configs_from_args(args)
 
     state, log_dir, cache = run_training(run, pipe_cfg)

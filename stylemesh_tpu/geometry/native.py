@@ -25,13 +25,30 @@ def _build():
                    capture_output=True, text=True)
 
 
+def _stale():
+    """True when sources are newer than the built library."""
+    if not exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    for fn in os.listdir(_NATIVE_DIR):
+        if fn.endswith((".cpp", ".h", ".hpp")) or fn == "Makefile":
+            if os.path.getmtime(join(_NATIVE_DIR, fn)) > lib_mtime:
+                return True
+    return False
+
+
 def load_library(rebuild=False):
     global _lib
     if _lib is not None and not rebuild:
         return _lib
-    if rebuild or not exists(_LIB_PATH):
+    if rebuild or _stale():
         _build()
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        # stale/foreign-arch binary: rebuild from source and retry
+        _build()
+        lib = ctypes.CDLL(_LIB_PATH)
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.sm_rasterize.restype = ctypes.c_int64

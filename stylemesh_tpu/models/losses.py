@@ -184,48 +184,73 @@ class ContentAndStyleLoss:
             for i in range(num_levels):
                 factors[i][k] = jnp.where(total > 0, factors[i][k] / safe, 0.0)
 
+        # --- per (level, layer) prediction Grams (batched over views)
+        y_hat_grams = []
+        for i in range(num_levels):
+            g = {}
+            for k in self.style_layers:
+                m = (masks_passed[i][k] if self.style_pyramid_mode == "multi"
+                     else masks[i][k])
+                g[k] = masked_gram(pred_encs[i][k].astype(jnp.float32), m)
+            y_hat_grams.append(g)
+
+        new_cache = gram_cache
+        if self.gram_mode == "average":
+            assert new_cache is not None, "gram_mode='average' needs a GramCache"
+            # View-outer cache walk — exactly V sequential reference steps
+            # (:319-323): view vi's y_hat at (level, layer) averages its
+            # current gram with the detached history, which includes all
+            # pushes from earlier views and earlier levels of view vi. A
+            # level that is empty for a view never pushes (the reference
+            # drops empty levels before the loss, model.py:256-257).
+            level_nonempty = [
+                jnp.sum(pyramid_masks[i].astype(jnp.float32).reshape(v, -1),
+                        axis=1) > 0
+                for i in range(num_levels)
+            ]
+            slot = jax.lax.broadcasted_iota(
+                jnp.int32, (GRAM_CACHE_DEPTH, 1, 1), 0)
+            cache_grams = dict(new_cache.grams)
+            count = new_cache.count
+            mixed = [{k: [] for k in self.style_layers}
+                     for _ in range(num_levels)]
+            for vi in range(v):
+                for i in range(num_levels):
+                    count_snap = count
+                    ne = level_nonempty[i][vi]
+                    for k in self.style_layers:
+                        cache_k = cache_grams[k]
+                        n_detached = jnp.minimum(count_snap,
+                                                 GRAM_CACHE_DEPTH - 1)
+                        detached_sum = jnp.sum(
+                            jnp.where(slot < n_detached,
+                                      jax.lax.stop_gradient(cache_k), 0.0),
+                            axis=0)
+                        denom = (n_detached + 1).astype(jnp.float32)
+                        cur = y_hat_grams[i][k][vi]
+                        mixed[i][k].append((cur + detached_sum) / denom)
+                        pushed = jnp.roll(cache_k, 1, axis=0).at[0].set(
+                            jax.lax.stop_gradient(cur))
+                        cache_grams[k] = jnp.where(ne, pushed, cache_k)
+                    count = jnp.where(
+                        ne, jnp.minimum(count_snap + 1, GRAM_CACHE_DEPTH),
+                        count_snap)
+            for i in range(num_levels):
+                for k in self.style_layers:
+                    y_hat_grams[i][k] = jnp.stack(mixed[i][k], axis=0)
+            new_cache = GramCache(grams=cache_grams, count=count)
+
         style_loss = jnp.zeros((), dtype=jnp.float32)
         content_loss = jnp.zeros((), dtype=jnp.float32)
-        new_cache = gram_cache
 
         for i in range(num_levels):
-            # Every style layer's cache has the same number of valid entries;
-            # snapshot it per level so all layers in this level agree
-            # (the reference's per-layer lists all grow by one per level).
-            level_count = new_cache.count if new_cache is not None else None
             for li, k in enumerate(self.style_layers):
                 w = jnp.float32(self.style_weights[li])
                 f = factors[i][k]  # [V]
-
-                if self.style_pyramid_mode == "multi":
-                    y = style_targets.grams[k][2]
-                    y_hat = masked_gram(pred_encs[i][k].astype(jnp.float32),
-                                        masks_passed[i][k])
-                else:
-                    y = style_targets.grams[k][0]
-                    y_hat = masked_gram(pred_encs[i][k].astype(jnp.float32),
-                                        masks[i][k])
-
-                if self.gram_mode == "average":
-                    assert new_cache is not None, "gram_mode='average' needs a GramCache"
-                    y_hat_mean = jnp.mean(y_hat, axis=0)  # view-mean gram
-                    cache_k = new_cache.grams[k]
-                    n_detached = jnp.minimum(level_count, GRAM_CACHE_DEPTH - 1)
-                    slot = jax.lax.broadcasted_iota(
-                        jnp.int32, (GRAM_CACHE_DEPTH, 1, 1), 0)
-                    detached_sum = jnp.sum(
-                        jnp.where(slot < n_detached, jax.lax.stop_gradient(cache_k), 0.0),
-                        axis=0)
-                    denom = (n_detached + 1).astype(jnp.float32)
-                    # per-view current gram averaged with the detached history
-                    y_hat = (y_hat + detached_sum[None]) / denom
-                    # push the current (detached) view-mean gram into slot 0
-                    rolled = jnp.roll(cache_k, 1, axis=0)
-                    rolled = rolled.at[0].set(jax.lax.stop_gradient(y_hat_mean))
-                    new_cache = GramCache(
-                        grams={**new_cache.grams, k: rolled},
-                        count=jnp.minimum(level_count + 1, GRAM_CACHE_DEPTH),
-                    )
+                y_hat = y_hat_grams[i][k]
+                y = (style_targets.grams[k][2]
+                     if self.style_pyramid_mode == "multi"
+                     else style_targets.grams[k][0])
 
                 l = w * f * _mse_gram(y, y_hat)  # [V]
 

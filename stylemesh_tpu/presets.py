@@ -31,8 +31,7 @@ PRESETS = {
         _COMMON_SCANNET,
         hierarchical_layers=1,
         loss_weights=[["content", "7e1"], ["style", "1e-3"], ["tex_reg", "0"]],
-        style_weights=[1000 / 64 ** 2, 1000 / 128 ** 2, 10 / 256 ** 2,
-                       10 / 512 ** 2, 1000 / 512 ** 2],
+        style_weights=[1000.0, 1000.0, 10.0, 10.0, 1000.0],
         decay_step_size=15, max_epochs=1, index_repeat=1,
         style_pyramid_mode="single", gram_mode="average",
         angle_threshold=3000.0, pyramid_levels=1,
@@ -43,8 +42,7 @@ PRESETS = {
         _COMMON_SCANNET,
         hierarchical_layers=4,
         loss_weights=[["content", "7e1"], ["style", "1e-4"], ["tex_reg", "5e3"]],
-        style_weights=[1000 / 64 ** 2, 1000 / 128 ** 2, 10 / 256 ** 2,
-                       10 / 512 ** 2, 1000 / 512 ** 2],
+        style_weights=[1000.0, 1000.0, 10.0, 10.0, 1000.0],
         decay_step_size=3, max_epochs=7, index_repeat=20,
         style_pyramid_mode="single", gram_mode="current",
         angle_threshold=3000.0, pyramid_levels=1,
@@ -55,8 +53,7 @@ PRESETS = {
         _COMMON_SCANNET,
         hierarchical_layers=4,
         loss_weights=[["content", "7e1"], ["style", "1e-4"], ["tex_reg", "5e3"]],
-        style_weights=[1000 / 64 ** 2, 1000 / 128 ** 2, 10 / 256 ** 2,
-                       10 / 512 ** 2, 1000 / 512 ** 2],
+        style_weights=[1000.0, 1000.0, 10.0, 10.0, 1000.0],
         decay_step_size=3, max_epochs=7, index_repeat=20,
         style_pyramid_mode="multi", gram_mode="current",
         angle_threshold=30.0, pyramid_levels=1,
@@ -67,8 +64,7 @@ PRESETS = {
         _COMMON_SCANNET,
         hierarchical_layers=4,
         loss_weights=[["content", "7e1"], ["style", "1e-4"], ["tex_reg", "5e3"]],
-        style_weights=[1000 / 64 ** 2, 1000 / 128 ** 2, 10 / 256 ** 2,
-                       10 / 512 ** 2, 1000 / 512 ** 2],
+        style_weights=[1000.0, 1000.0, 10.0, 10.0, 1000.0],
         decay_step_size=3, max_epochs=7, index_repeat=20,
         style_pyramid_mode="multi", gram_mode="current",
         angle_threshold=30.0, pyramid_levels=4,
@@ -77,8 +73,7 @@ PRESETS = {
         _COMMON_MATTERPORT,
         hierarchical_layers=1, min_pyramid_depth=0.25,
         loss_weights=[["content", "7e1"], ["style", "1e-4"], ["tex_reg", "0"]],
-        style_weights=[1000 / 64 ** 2, 1000 / 128 ** 2, 10 / 256 ** 2,
-                       10 / 512 ** 2, 1000 / 512 ** 2],
+        style_weights=[1000.0, 1000.0, 10.0, 10.0, 1000.0],
         decay_step_size=50, max_epochs=1, index_repeat=1,
         style_pyramid_mode="single", gram_mode="average",
         angle_threshold=3000.0, pyramid_levels=1,
@@ -88,8 +83,7 @@ PRESETS = {
         _COMMON_MATTERPORT,
         hierarchical_layers=4,
         loss_weights=[["content", "7e1"], ["style", "1e-4"], ["tex_reg", "5e3"]],
-        style_weights=[1000 / 64 ** 2, 1000 / 128 ** 2, 10 / 256 ** 2,
-                       10 / 512 ** 2, 1000 / 512 ** 2],
+        style_weights=[1000.0, 1000.0, 10.0, 10.0, 1000.0],
         decay_step_size=3, max_epochs=7, index_repeat=100,
         style_pyramid_mode="single", gram_mode="current",
         angle_threshold=3000.0, pyramid_levels=1,
@@ -99,8 +93,7 @@ PRESETS = {
         _COMMON_MATTERPORT,
         hierarchical_layers=4,
         loss_weights=[["content", "7e1"], ["style", "1e-4"], ["tex_reg", "5e3"]],
-        style_weights=[1000 / 64 ** 2, 1000 / 128 ** 2, 10 / 256 ** 2,
-                       10 / 512 ** 2, 1000 / 512 ** 2],
+        style_weights=[1000.0, 1000.0, 10.0, 10.0, 1000.0],
         decay_step_size=3, max_epochs=7, index_repeat=100,
         style_pyramid_mode="multi", gram_mode="current",
         angle_threshold=40.0, pyramid_levels=1,
@@ -110,8 +103,7 @@ PRESETS = {
         _COMMON_MATTERPORT,
         hierarchical_layers=4,
         loss_weights=[["content", "7e1"], ["style", "1e-4"], ["tex_reg", "5e3"]],
-        style_weights=[1000 / 64 ** 2, 1000 / 128 ** 2, 10 / 256 ** 2,
-                       10 / 512 ** 2, 1000 / 512 ** 2],
+        style_weights=[1000.0, 1000.0, 10.0, 10.0, 1000.0],
         decay_step_size=3, max_epochs=7, index_repeat=100,
         style_pyramid_mode="multi", gram_mode="current",
         angle_threshold=40.0, pyramid_levels=4,
@@ -119,9 +111,30 @@ PRESETS = {
 }
 
 
-def apply_preset(args, name):
-    """Overlay a preset onto parsed args (explicit CLI flags for paths etc.
-    are kept; preset values overwrite the rest)."""
+def apply_preset(args, name, explicit=None):
+    """Overlay a preset onto parsed args.
+
+    Explicitly-passed CLI flags are kept (the reference's launch-script
+    semantics: the script sets the baseline, extra flags win). ``explicit``
+    is the set of dest names actually present on the command line — build it
+    with :func:`explicit_cli_keys`. Without it every key is overwritten.
+    """
+    explicit = explicit or ()
     for k, v in PRESETS[name].items():
+        if k in explicit:
+            continue  # user passed this flag explicitly
         setattr(args, k, v)
     return args
+
+
+def explicit_cli_keys(parser_factory, argv=None):
+    """Dest names of the flags actually present in ``argv``: re-parse with
+    every default suppressed, so only explicitly-passed args materialize."""
+    import argparse
+    import sys
+
+    p = parser_factory()
+    for action in p._actions:
+        action.default = argparse.SUPPRESS
+    ns, _ = p.parse_known_args(sys.argv[1:] if argv is None else argv)
+    return set(vars(ns))

@@ -94,6 +94,49 @@ def test_loss_parity_empty_level():
     np.testing.assert_allclose(float(c), float(rc), rtol=REL)
 
 
+def test_loss_parity_gram_average_v2():
+    """V=2 average mode == two sequential reference (B=1) steps: the view-
+    outer cache walk makes view 1's y_hat see view 0's pushed grams, and the
+    batched loss is the mean of the two reference losses."""
+    params, loss, targets, ref = _setup(gram_mode="average")
+    cache = GramCache.create(STYLE_LAYERS, VGG_LAYER_CHANNELS)
+    for step in range(2):
+        p0, c0, m0, a0 = _rand_inputs(num_levels=2)
+        p1, c1, m1, a1 = _rand_inputs(num_levels=2)
+        preds = [np.concatenate([x, y]) for x, y in zip(p0, p1)]
+        content = np.concatenate([c0, c1])
+        masks = [np.concatenate([x, y]) for x, y in zip(m0, m1)]
+        angle = np.concatenate([a0, a1])
+        s, c, cache = loss(params, targets, [jnp.asarray(p) for p in preds],
+                           jnp.asarray(content), [jnp.asarray(m) for m in masks],
+                           jnp.asarray(angle), gram_cache=cache)
+        ref_losses = []
+        for (pp, cc, mm, aa) in ((p0, c0, m0, a0), (p1, c1, m1, a1)):
+            tp, tc, tm, ta = _to_torch(pp, cc, mm, aa)
+            ref_losses.append(ref.forward(tp, tc, tm, ta))
+        rs = float(sum(r[0] for r in ref_losses)) / 2
+        rc = float(sum(r[1] for r in ref_losses)) / 2
+        np.testing.assert_allclose(float(s), rs, rtol=REL,
+                                   err_msg=f"style step {step}")
+        np.testing.assert_allclose(float(c), rc, rtol=REL,
+                                   err_msg=f"content step {step}")
+
+
+def test_gram_average_empty_level_no_push():
+    """An all-empty level must not push zero grams into the cache (the
+    reference drops empty levels before the loss ever sees them)."""
+    params, loss, targets, _ = _setup(gram_mode="average")
+    cache = GramCache.create(STYLE_LAYERS, VGG_LAYER_CHANNELS)
+    preds, content, masks, angle = _rand_inputs(num_levels=2)
+    masks[0] = np.zeros_like(masks[0])
+    _, _, cache = loss(params, targets, [jnp.asarray(p) for p in preds],
+                       jnp.asarray(content), [jnp.asarray(m) for m in masks],
+                       jnp.asarray(angle), gram_cache=cache)
+    assert int(cache.count) == 1  # only the non-empty level pushed
+    # slot 0 holds a real (non-zero) gram
+    assert float(np.abs(np.asarray(cache.grams["r11"][0])).sum()) > 0
+
+
 def test_loss_parity_gram_average():
     params, loss, targets, ref = _setup(gram_mode="average")
     cache = GramCache.create(STYLE_LAYERS, VGG_LAYER_CHANNELS)
