@@ -34,6 +34,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 REFERENCE_A100_VIEWS_PER_SEC = 4.0  # documented estimate, see module docstring
 BATCH_VIEWS = int(os.environ.get("BENCH_VIEWS", "2"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+INDEX_REPEAT = 20  # the reference's own repeat factor (scannet scripts)
 
 
 def _log(msg):
@@ -76,35 +77,50 @@ def _run_bench(batch_views):
     rng = np.random.default_rng(0)
     style = jnp.asarray((rng.random((1, 512, 683, 3), dtype=np.float32) - 0.45) * 255.0)
 
+    # depth 0.4..7.0m spans all four pyramid levels (uv heights ~51..896 vs
+    # level heights 256..784) so every level carries live loss + gradients,
+    # like a real room scan — a shallow ramp would let the dead-tile planner
+    # skip most of the splat work and flatter the number
     batch = synthetic_view_batch(
         num_views=batch_views, content_hw=(256, 341),
         level_heights=(256, 432, 608, 784), aspect=1280.0 / 960.0,
-        min_depth=0.25, seed=0)
+        min_depth=0.25, seed=0, depth_range=(0.4, 7.0))
     if os.environ.get("BENCH_NO_SPLAT_KERNEL") != "1":
         from stylemesh_tpu.data.synthetic import with_splat_plans
 
         layer_sizes = [(cfg.texture_height // 2 ** i, cfg.texture_width // 2 ** i)
                        for i in range(cfg.hierarchical_layers)]
         _log("planning Pallas splat windows...")
-        batch = with_splat_plans(batch, layer_sizes)
+        batch = with_splat_plans(batch, layer_sizes,
+                                 use_angle_weight=cfg.use_angle_weight,
+                                 use_depth_scaling=cfg.use_depth_scaling)
 
     _log(f"devices: {jax.devices()}")
     pipe = TexturePipeline(cfg, vgg, style)
     state = pipe.init()
 
-    # compile + warmup
+    # compile + warmup. The batch-constant precompute (prepare_batch) is
+    # timed separately and amortized over the reference's own repeat factor
+    # (--index_repeat 20 in the scannet launch scripts): in production each
+    # batch is prepared once and trained for 20 consecutive steps.
     _log("compiling train step (full-method graph; first run is slow)...")
     t_c = time.perf_counter()
-    state, losses = pipe.train_step(state, batch)
+    aux = jax.block_until_ready(pipe.prepare_batch(batch))
+    state, losses = pipe.train_step(state, batch, aux)
     jax.block_until_ready(losses)
     _log(f"compile+first step: {time.perf_counter() - t_c:.1f}s")
 
+    t_p = time.perf_counter()
+    aux = jax.block_until_ready(pipe.prepare_batch(batch))
+    prepare_s = time.perf_counter() - t_p
+    _log(f"prepare_batch: {prepare_s * 1e3:.1f} ms (amortized /{INDEX_REPEAT})")
+
     t0 = time.perf_counter()
     for i in range(STEPS):
-        state, losses = pipe.train_step(state, batch)
+        state, losses = pipe.train_step(state, batch, aux)
         jax.block_until_ready(losses)
         _log(f"step {i}: {time.perf_counter() - t0:.2f}s elapsed")
-    dt = time.perf_counter() - t0
+    dt = time.perf_counter() - t0 + prepare_s * STEPS / INDEX_REPEAT
 
     views_per_sec = STEPS * batch_views / dt
     print(json.dumps({

@@ -194,55 +194,53 @@ class SceneCache:
     def levels(self):
         return self.spec.levels
 
-    def attach_splat_plans(self, layer_sizes):
+    def attach_splat_plans(self, layer_sizes, use_angle_weight=False,
+                           use_depth_scaling=False):
         """Precompute Pallas splat plans for every cached view and texture
         layer (see ops/splat_plan.py). ``layer_sizes``: [(h, w)] per texture
         layer. Plans are constants per scene; batches then assemble them by
-        slicing — no per-step host work."""
-        from stylemesh_tpu.ops.splat_plan import plan_splat
+        row-slicing the schedule arrays — no per-step host work.
+
+        Pass the pipeline's gradient-reweighting flags so tiles with
+        provably-zero gradients are dropped from the splat schedules
+        (data/grad_masks.py). Plans built with different flags than the
+        training config would silently drop live gradients — keep in sync.
+        """
+        from stylemesh_tpu.data.grad_masks import grad_weight_masks
+        from stylemesh_tpu.ops.splat_plan import plan_arrays_for_views
 
         self._plan_layer_sizes = [
             (h, w) if (h % 8 == 0 and w % 128 == 0) else None
             for (h, w) in layer_sizes
         ]
         b = self._batch_all
-        self._view_plans = []  # [level][layer][view_pos] -> SplatPlan | None
-        self._plan_caps = []
-        for uv in b.uv:
+        level_shapes = [tuple(u.shape[1:3]) for u in b.uv]
+        wmasks = grad_weight_masks(b, level_shapes, use_angle_weight,
+                                   use_depth_scaling)
+        # [level][layer] -> PlanArrays over all cached views | None
+        self._view_plans = []
+        for li, uv in enumerate(b.uv):
             per_layer = []
-            caps = []
             for hw in self._plan_layer_sizes:
                 if hw is None:
                     per_layer.append(None)
-                    caps.append(0)
                     continue
-                plans = [plan_splat(np.asarray(uv[p]), hw[0], hw[1])
-                         for p in range(uv.shape[0])]
-                cap = max(1, max(p.res_count for p in plans))
-                cap = int(2 ** np.ceil(np.log2(cap)))
-                per_layer.append(plans)
-                caps.append(cap)
+                per_layer.append(plan_arrays_for_views(
+                    np.asarray(uv), hw[0], hw[1],
+                    weight_masks=None if wmasks is None else wmasks[li]))
             self._view_plans.append(per_layer)
-            self._plan_caps.append(caps)
 
     def _assemble_plans(self, pos):
-        from stylemesh_tpu.ops.splat_plan import PlanArrays, pad_residuals
+        import jax
 
         levels = []
-        for li, per_layer in enumerate(self._view_plans):
+        for per_layer in self._view_plans:
             layer_plans = []
-            for yi, plans in enumerate(per_layer):
-                if plans is None:
+            for plan in per_layer:
+                if plan is None:
                     layer_plans.append(None)
                     continue
-                sel = [plans[p] for p in pos]
-                origins = np.concatenate([p.origins for p in sel])
-                origins2 = np.concatenate([p.origins2 for p in sel])
-                has2 = np.concatenate([p.has2 for p in sel])
-                rt, rp, rw = pad_residuals(sel, cap=self._plan_caps[li][yi])
-                layer_plans.append(PlanArrays(
-                    origins=origins, origins2=origins2, has2=has2,
-                    res_texel=rt, res_pixel=rp, res_weight=rw))
+                layer_plans.append(jax.tree.map(lambda a: a[pos], plan))
             levels.append(tuple(layer_plans))
         return tuple(levels)
 

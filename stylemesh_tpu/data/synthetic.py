@@ -15,20 +15,32 @@ from stylemesh_tpu.data.depth_level import calculate_depth_level
 from stylemesh_tpu.data.schema import ViewBatch
 
 
-def with_splat_plans(batch: ViewBatch, layer_sizes):
+def with_splat_plans(batch: ViewBatch, layer_sizes, use_angle_weight=False,
+                     use_depth_scaling=False):
     """Attach Pallas splat plans for the given texture layer sizes to any
     ViewBatch (host-side planning; layers not (8,128)-aligned get None and
-    fall back to the XLA scatter)."""
+    fall back to the XLA scatter).
+
+    When the gradient-reweighting flags are passed (matching the pipeline
+    config the batch will train under), tiles whose gradient is provably
+    zeroed by the angle/depth weights are dropped from the splat schedule
+    (see data/grad_masks.py)."""
+    from stylemesh_tpu.data.grad_masks import grad_weight_masks
     from stylemesh_tpu.ops.splat_plan import plan_arrays_for_views
 
+    level_shapes = [tuple(u.shape[1:3]) for u in batch.uv]
+    wmasks = grad_weight_masks(batch, level_shapes, use_angle_weight,
+                               use_depth_scaling)
     plans = []
-    for uv in batch.uv:
+    for li, uv in enumerate(batch.uv):
         per_layer = []
         for (h, w) in layer_sizes:
             if h % 8 or w % 128:
                 per_layer.append(None)
             else:
-                per_layer.append(plan_arrays_for_views(np.asarray(uv), h, w))
+                per_layer.append(plan_arrays_for_views(
+                    np.asarray(uv), h, w,
+                    weight_masks=None if wmasks is None else wmasks[li]))
         plans.append(tuple(per_layer))
     return batch._replace(splat_plans=tuple(plans))
 
@@ -36,7 +48,7 @@ def with_splat_plans(batch: ViewBatch, layer_sizes):
 def synthetic_view_batch(num_views=2, content_hw=(64, 85),
                          level_heights=(64, 96, 128), aspect=4.0 / 3.0,
                          min_depth=0.25, seed=0, valid_fraction=0.85,
-                         jnp_arrays=True):
+                         jnp_arrays=True, depth_range=(0.5, 3.0)):
     """Build a ViewBatch for a camera panning across a textured plane.
 
     Each view v looks at a window of the unit UV square, slightly shifted per
@@ -66,8 +78,9 @@ def synthetic_view_batch(num_views=2, content_hw=(64, 85),
         uv_pyramid.append(np.stack(grids, axis=0))
 
     # depth ramp per view (front-left near, back-right far)
+    d0, d1 = depth_range
     ys, xs = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
-    depth = (0.5 + 2.5 * (0.3 * xs + 0.7 * ys))[None].repeat(num_views, 0)
+    depth = (d0 + (d1 - d0) * (0.3 * xs + 0.7 * ys))[None].repeat(num_views, 0)
     depth = depth.astype(np.float32)[..., None]
 
     # viewing angle: near-frontal at center, grazing at borders

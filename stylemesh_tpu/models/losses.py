@@ -124,10 +124,80 @@ class ContentAndStyleLoss:
 
     # ------------------------------------------------------------- forward
 
+    @staticmethod
+    def _layer_hw(name, hw):
+        """Feature resolution of a named activation for an ``hw`` input:
+        each of the preceding max-pools floors the size by 2 (and floor
+        composes: floor(floor(h/2)/2) == floor(h/4))."""
+        pools = int(name[1]) - (0 if name.startswith("p") else 1)
+        return (hw[0] // 2 ** pools, hw[1] // 2 ** pools)
+
+    def precompute_aux(self, vgg_params, level_shapes, target_content,
+                       pyramid_masks, angle_degrees):
+        """All texture-independent per-batch constants of the loss: the
+        content-target VGG encodings and their per-level resizes, every
+        mask resize, and the level factors (reference calculate_pyramid,
+        content_and_style_losses.py:146-230).
+
+        These depend only on the batch, so with the reference's repeat
+        sampler (``--index_repeat`` 4..100) they amortize to ~zero — compute
+        once per batch (``TexturePipeline.prepare_batch``) instead of every
+        step.
+        """
+        num_levels = len(level_shapes)
+        v = target_content.shape[0]
+        all_layers = self.layers
+        content_encs = self._encode(vgg_params, target_content,
+                                    self.content_layers)
+
+        masks = [dict() for _ in range(num_levels)]
+        masks_passed = [dict() for _ in range(num_levels)]
+        masks_failed = [dict() for _ in range(num_levels)]
+        content_targets = [dict() for _ in range(num_levels)]
+        factors = [dict() for _ in range(num_levels)]
+
+        for i in range(num_levels):
+            mask = pyramid_masks[i].astype(jnp.float32)
+            hw = tuple(mask.shape[1:3])
+            passed = resize_bilinear(angle_degrees.astype(jnp.float32),
+                                     hw) < self.angle_threshold
+            passed = passed.astype(jnp.float32)
+            by_hw = {}
+            for k in all_layers:
+                fhw = self._layer_hw(k, hw)
+                if fhw not in by_hw:  # r41/r42 share a resolution
+                    m = resize_nearest(mask, fhw)
+                    by_hw[fhw] = (
+                        m,
+                        resize_nearest(mask * passed, fhw),
+                        resize_nearest(mask * (1.0 - passed), fhw),
+                        jnp.mean(m.reshape(v, -1), axis=1),
+                    )
+                m, mp, mf, f = by_hw[fhw]
+                masks[i][k] = m
+                masks_passed[i][k] = mp
+                masks_failed[i][k] = mf
+                factors[i][k] = f  # [V]
+                if k in self.content_layers:
+                    content_targets[i][k] = resize_bilinear(
+                        content_encs[k].astype(jnp.float32), fhw)
+
+        # --- normalize factors across levels per layer (reference :199-204),
+        # guarded against all-empty layers (reference would drop such batches).
+        for k in all_layers:
+            total = sum(factors[i][k] for i in range(num_levels))
+            safe = jnp.where(total > 0, total, 1.0)
+            for i in range(num_levels):
+                factors[i][k] = jnp.where(total > 0, factors[i][k] / safe, 0.0)
+
+        return dict(masks=masks, masks_passed=masks_passed,
+                    masks_failed=masks_failed,
+                    content_targets=content_targets, factors=factors)
+
     def __call__(self, vgg_params, style_targets: StyleTargets,
                  pred_pyramid: Sequence[jax.Array], target_content: jax.Array,
                  pyramid_masks: Sequence[jax.Array], angle_degrees: jax.Array,
-                 gram_cache: Optional[GramCache] = None):
+                 gram_cache: Optional[GramCache] = None, aux=None):
         """Compute (style_loss, content_loss, new_gram_cache).
 
         Args:
@@ -137,6 +207,8 @@ class ContentAndStyleLoss:
             pyramid_masks: per level ``[V, H_i, W_i, 1]`` 0/1 float.
             angle_degrees: ``[V, H, W, 1]`` viewing angle in degrees.
             gram_cache: required iff ``gram_mode == 'average'``.
+            aux: optional :meth:`precompute_aux` result (texture-independent
+                batch constants); computed inline when absent.
         Returns:
             scalar style loss, scalar content loss (means over views), and the
             updated gram cache (input cache if mode is 'current').
@@ -152,37 +224,16 @@ class ContentAndStyleLoss:
         if self.remat:
             encode = jax.checkpoint(encode)
         pred_encs = [encode(p) for p in pred_pyramid]
-        content_encs = self._encode(vgg_params, target_content, all_layers)
 
-        # --- per level/layer masks, factors, content targets (calculate_pyramid)
-        masks = [dict() for _ in range(num_levels)]
-        masks_passed = [dict() for _ in range(num_levels)]
-        masks_failed = [dict() for _ in range(num_levels)]
-        content_targets = [dict() for _ in range(num_levels)]
-        factors = [dict() for _ in range(num_levels)]
-
-        for i in range(num_levels):
-            mask = pyramid_masks[i].astype(jnp.float32)
-            hw = mask.shape[1:3]
-            passed = resize_bilinear(angle_degrees.astype(jnp.float32), hw) < self.angle_threshold
-            passed = passed.astype(jnp.float32)
-            for k in all_layers:
-                fhw = pred_encs[i][k].shape[1:3]
-                m = resize_nearest(mask, fhw)
-                masks[i][k] = m
-                masks_passed[i][k] = resize_nearest(mask * passed, fhw)
-                masks_failed[i][k] = resize_nearest(mask * (1.0 - passed), fhw)
-                content_targets[i][k] = resize_bilinear(
-                    content_encs[k].astype(jnp.float32), fhw)
-                factors[i][k] = jnp.mean(m.reshape(v, -1), axis=1)  # [V]
-
-        # --- normalize factors across levels per layer (reference :199-204),
-        # guarded against all-empty layers (reference would drop such batches).
-        for k in all_layers:
-            total = sum(factors[i][k] for i in range(num_levels))
-            safe = jnp.where(total > 0, total, 1.0)
-            for i in range(num_levels):
-                factors[i][k] = jnp.where(total > 0, factors[i][k] / safe, 0.0)
+        if aux is None:
+            aux = self.precompute_aux(
+                vgg_params, [p.shape[1:3] for p in pred_pyramid],
+                target_content, pyramid_masks, angle_degrees)
+        masks = aux["masks"]
+        masks_passed = aux["masks_passed"]
+        masks_failed = aux["masks_failed"]
+        content_targets = aux["content_targets"]
+        factors = aux["factors"]
 
         # --- per (level, layer) prediction Grams (batched over views)
         y_hat_grams = []

@@ -30,6 +30,7 @@ from stylemesh_tpu.models.texture import (
     Texture,
     clamp_texture,
     sample_texture,
+    texture_channel_first,
     texture_regularizer,
 )
 from stylemesh_tpu.models.vgg import VGG_LAYER_CHANNELS
@@ -130,6 +131,7 @@ class PipelineConfig:
     compute_dtype: Optional[Any] = None  # e.g. jnp.bfloat16 for MXU speed
     precision: Any = jax.lax.Precision.HIGHEST
     use_splat_kernel: bool = True  # Pallas backward when plans are attached
+    kernel_compute: str = "f32"  # splat/gather kernel math: "f32" | "bf16"
     remat_vgg: bool = True  # recompute VGG activations in backward
 
     def resolved_tex_reg_weights(self):
@@ -167,6 +169,20 @@ class TrainState(NamedTuple):
     gram_cache: Optional[GramCache] = None
 
 
+class BatchAux(NamedTuple):
+    """Texture-independent per-batch constants: the combined per-level
+    gradient weights (angle x depth interpolation), the per-level loss
+    masks, and the loss's precomputed masks/targets/factors. With the
+    reference's repeat sampler the same batch trains for ``--index_repeat``
+    (4..100) consecutive steps, so computing these once per batch
+    (:meth:`TexturePipeline.prepare_batch`) removes the content VGG pass and
+    ~70 mask/feature resizes from every step."""
+
+    grad_weights: Optional[Tuple]  # per level [V, H_i, W_i, 1] or None
+    pyramid_masks: Tuple  # per level [V, H_i, W_i, 1]
+    loss_aux: Any  # ContentAndStyleLoss.precompute_aux result
+
+
 class TexturePipeline:
     """Builds and owns the pure train/eval step functions.
 
@@ -194,8 +210,11 @@ class TexturePipeline:
         )
         self.optimizer = optax.adam(learning_rate=schedule, b1=0.9, b2=0.999,
                                     eps=1e-8)
-        self._jit_train_step = jax.jit(self._train_step)
+        # donating the state buffers lets XLA update Adam moments and the
+        # texture in place (saves ~0.5GB HBM at 4096^2 x 4 layers)
+        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
         self._jit_eval_step = jax.jit(self._loss_and_metrics_only)
+        self._jit_prepare_batch = jax.jit(self._prepare_batch)
 
     # ------------------------------------------------------------- state
 
@@ -217,46 +236,82 @@ class TexturePipeline:
 
     # ------------------------------------------------------------- loss
 
+    def prepare_batch(self, batch: ViewBatch) -> BatchAux:
+        """Compute every texture-independent part of the step for this batch
+        (jitted): per-level gradient weights, loss masks, content-target
+        encodings, level factors. Reuse the result across the batch's repeat
+        steps (see optimize.run_training's device-batch cache)."""
+        return self._jit_prepare_batch(batch)
+
+    def _prepare_batch(self, batch: ViewBatch) -> BatchAux:
+        cfg = self.config
+        level_shapes = [tuple(u.shape[1:3]) for u in batch.uv]
+
+        weights = None
+        if cfg.use_angle_weight or cfg.use_depth_scaling:
+            per_level = []
+            interp = (depth_interpolation_weights(batch, level_shapes)
+                      if cfg.use_depth_scaling else None)
+            for i, hw in enumerate(level_shapes):
+                w = None
+                if cfg.use_angle_weight:
+                    w = resize_bilinear(
+                        batch.angle_guidance.astype(jnp.float32), hw)
+                if interp is not None:
+                    w = interp[i] if w is None else w * interp[i]
+                per_level.append(w)
+            weights = tuple(per_level)
+
+        if cfg.use_depth_scaling:
+            pyramid_masks = tuple(depth_pyramid_masks(batch, level_shapes))
+        else:
+            pyramid_masks = tuple(last_level_only_masks(batch, level_shapes))
+
+        loss_aux = self.loss.precompute_aux(
+            self.vgg_params, level_shapes, batch.rgb, pyramid_masks,
+            batch.angle_degrees)
+        return BatchAux(grad_weights=weights, pyramid_masks=pyramid_masks,
+                        loss_aux=loss_aux)
+
     def loss_fn(self, texture: Texture, batch: ViewBatch,
-                gram_cache: Optional[GramCache]):
+                gram_cache: Optional[GramCache], aux: Optional[BatchAux] = None):
         return self.loss_with_targets(texture, self.style_targets, batch,
-                                      gram_cache)
+                                      gram_cache, aux)
 
     def loss_with_targets(self, texture: Texture, style_targets,
-                          batch: ViewBatch, gram_cache: Optional[GramCache]):
+                          batch: ViewBatch, gram_cache: Optional[GramCache],
+                          aux: Optional[BatchAux] = None):
         """Loss with explicit style targets — the vmap axis for multi-style
         sweeps (parallel/multistyle.py)."""
         cfg = self.config
+        if aux is None:
+            aux = self._prepare_batch(batch)
 
         # 1. render: sample the atlas at every UV pyramid level (with the
-        # Pallas splat backward where the batch carries plans)
+        # Pallas window kernels where the batch carries plans). The
+        # channel-first copy is hoisted so its transposes are paid once per
+        # step, not once per (level, layer).
         if batch.splat_plans is not None and cfg.use_splat_kernel:
+            tex_cf = texture_channel_first(texture)
             pred_pyramid = [
-                sample_texture(texture, uv, plans=plans)
+                sample_texture(texture, uv, plans=plans, texture_cf=tex_cf,
+                               compute=cfg.kernel_compute)
                 for uv, plans in zip(batch.uv, batch.splat_plans)
             ]
         else:
             pred_pyramid = [sample_texture(texture, uv) for uv in batch.uv]
-        level_shapes = [p.shape[1:3] for p in pred_pyramid]
-
-        # 2. gradient weighting (forward-mode equivalent of the hooks)
-        if cfg.use_angle_weight:
-            pred_pyramid = [
-                _grad_scale(p, resize_bilinear(
-                    batch.angle_guidance.astype(jnp.float32), hw))
-                for p, hw in zip(pred_pyramid, level_shapes)
-            ]
-        if cfg.use_depth_scaling:
-            interp = depth_interpolation_weights(batch, level_shapes)
-            pred_pyramid = [_grad_scale(p, w) for p, w in zip(pred_pyramid, interp)]
-            pyramid_masks = depth_pyramid_masks(batch, level_shapes)
-        else:
-            pyramid_masks = last_level_only_masks(batch, level_shapes)
+        # 2. gradient weighting (forward-mode equivalent of the hooks):
+        # the combined per-level weight (angle x depth interpolation) is a
+        # batch constant precomputed by prepare_batch
+        if aux.grad_weights is not None:
+            pred_pyramid = [_grad_scale(p, w)
+                            for p, w in zip(pred_pyramid, aux.grad_weights)]
 
         # 3. content + style
         style_loss, content_loss, new_cache = self.loss(
             self.vgg_params, style_targets, pred_pyramid, batch.rgb,
-            pyramid_masks, batch.angle_degrees, gram_cache)
+            aux.pyramid_masks, batch.angle_degrees, gram_cache,
+            aux=aux.loss_aux)
 
         # 4. texture regularizer (model.py:163-171)
         if cfg.tex_reg_weight > 0:
@@ -279,9 +334,11 @@ class TexturePipeline:
 
     # ------------------------------------------------------------- steps
 
-    def _train_step(self, state: TrainState, batch: ViewBatch):
+    def _train_step(self, state: TrainState, batch: ViewBatch,
+                    aux: Optional[BatchAux]):
         (total, (losses, new_cache)), grads = jax.value_and_grad(
-            self.loss_fn, has_aux=True)(state.texture, batch, state.gram_cache)
+            self.loss_fn, has_aux=True)(state.texture, batch,
+                                        state.gram_cache, aux)
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    state.texture)
         texture = optax.apply_updates(state.texture, updates)
@@ -294,14 +351,22 @@ class TexturePipeline:
         )
         return new_state, losses
 
-    def _loss_and_metrics_only(self, state: TrainState, batch: ViewBatch):
-        total, (losses, _) = self.loss_fn(state.texture, batch, state.gram_cache)
+    def _loss_and_metrics_only(self, state: TrainState, batch: ViewBatch,
+                               aux: Optional[BatchAux]):
+        total, (losses, _) = self.loss_fn(state.texture, batch,
+                                          state.gram_cache, aux)
         return losses
 
-    def train_step(self, state: TrainState, batch: ViewBatch):
-        """One optimization step (jitted). Returns (new_state, loss dict)."""
-        return self._jit_train_step(state, batch)
+    def train_step(self, state: TrainState, batch: ViewBatch,
+                   aux: Optional[BatchAux] = None):
+        """One optimization step (jitted). Returns (new_state, loss dict).
 
-    def eval_step(self, state: TrainState, batch: ViewBatch):
+        Pass ``aux = prepare_batch(batch)`` when the batch is reused across
+        steps (repeat sampling) — the step then skips all texture-independent
+        work."""
+        return self._jit_train_step(state, batch, aux)
+
+    def eval_step(self, state: TrainState, batch: ViewBatch,
+                  aux: Optional[BatchAux] = None):
         """Validation losses without an update (jitted)."""
-        return self._jit_eval_step(state, batch)
+        return self._jit_eval_step(state, batch, aux)

@@ -20,7 +20,10 @@ import jax
 import jax.numpy as jnp
 
 from stylemesh_tpu.ops.color import GATYS_MAX, GATYS_MIN
-from stylemesh_tpu.ops.grid_sample import grid_sample, grid_sample_planned
+from stylemesh_tpu.ops.grid_sample import (
+    grid_sample,
+    grid_sample_planned_cf,
+)
 
 
 class Texture(NamedTuple):
@@ -72,7 +75,15 @@ def clamp_texture(texture: Texture) -> Texture:
     return Texture(layers=tuple(jnp.clip(l, GATYS_MIN, GATYS_MAX) for l in texture.layers))
 
 
-def sample_texture(texture: Texture, grid, plans=None):
+def texture_channel_first(texture: Texture):
+    """One channel-first ``[C, H, W]`` copy per layer (the layout the Pallas
+    window kernels DMA from — a 3-wide minor dim can't be tiled). Hoist this
+    once per step; its transposes are differentiable."""
+    return tuple(l.transpose(2, 0, 1) for l in texture.layers)
+
+
+def sample_texture(texture: Texture, grid, plans=None, texture_cf=None,
+                   compute="f32"):
     """Sample all layers at ``grid [..., 2]`` ((x,y) in [-1,1]) and sum.
 
     Matches ``HierarchicalNeuralTexture.forward`` (texture.py:96-100); for a
@@ -80,12 +91,17 @@ def sample_texture(texture: Texture, grid, plans=None):
     clamp (applied at the optimizer instead).
 
     ``plans``: optional per-layer splat plans (PlanArrays) enabling the
-    Pallas fast-path backward (identical gradients, ~30x faster scatter).
+    Pallas fast-path kernels (identical gradients, ~30x faster scatter).
+    ``texture_cf``: optional precomputed :func:`texture_channel_first`
+    (pass it when sampling several pyramid levels so the transposes are paid
+    once per step, not per (level, layer)).
     """
     out = None
     for li, layer in enumerate(texture.layers):
         if plans is not None and plans[li] is not None:
-            y = grid_sample_planned(layer, grid, plans[li])
+            lcf = (texture_cf[li] if texture_cf is not None
+                   else layer.transpose(2, 0, 1))
+            y = grid_sample_planned_cf(lcf, grid, plans[li], compute)
         else:
             y = grid_sample(layer, grid)
         out = y if out is None else out + y

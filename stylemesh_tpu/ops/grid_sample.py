@@ -117,40 +117,54 @@ def _plan_zero_cotangents(plan):
     return jax.tree.map(zero, plan)
 
 
-@jax.custom_vjp
-def grid_sample_planned(texture, grid, plan):
-    """Bilinear sample running both directions as Pallas window kernels.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def grid_sample_planned_cf(texture_cf, grid, plan, compute="f32"):
+    """Bilinear sample of a channel-FIRST ``[3, H, W]`` texture, running both
+    directions as Pallas window kernels.
 
-    Identical values/gradients to :func:`grid_sample`, but the forward is the
-    tiled windowed gather and the backward the tiled MXU splat (measured ~16x
-    faster than the XLA scatter on TPU; see ops/splat_pallas.py).
-    Requirements: ``grid`` is a batched ``[V, H, W, 2]`` view grid,
-    ``texture`` is ``[H, W, 3]`` with dims divisible by (8, 128), and
-    ``plan`` is the :class:`stylemesh_tpu.ops.splat_plan.PlanArrays` for
-    (grid, texture).
+    Identical values/gradients to :func:`grid_sample` (modulo the optional
+    bf16 kernel compute), but the forward is the tiled windowed gather and
+    the backward the tiled MXU splat (see ops/splat_pallas.py). The gradient
+    comes back channel-first too, so a pipeline that keeps one channel-first
+    texture copy per step pays no per-(level, layer) transposes.
+    Requirements: ``grid`` is a batched ``[V, H, W, 2]`` view grid, texture
+    dims divisible by (8, 128), ``plan`` the
+    :class:`stylemesh_tpu.ops.splat_plan.PlanArrays` for (grid, texture).
     """
     from stylemesh_tpu.ops.splat_pallas import gather_with_residual
 
     interpret = jax.default_backend() == "cpu"
-    return gather_with_residual(texture, grid, plan, interpret=interpret)
+    return gather_with_residual(texture_cf, grid, plan, compute=compute,
+                                interpret=interpret)
 
 
-def _grid_sample_planned_fwd(texture, grid, plan):
-    return grid_sample_planned(texture, grid, plan), (grid, plan, texture.shape)
+def _grid_sample_planned_cf_fwd(texture_cf, grid, plan, compute):
+    return (grid_sample_planned_cf(texture_cf, grid, plan, compute),
+            (grid, plan, texture_cf.shape))
 
 
-def _grid_sample_planned_bwd(res, g):
+def _grid_sample_planned_cf_bwd(compute, res, g):
     from stylemesh_tpu.ops.splat_pallas import splat_with_residual
 
-    grid, plan, (h, w, _) = res
+    grid, plan, (_, h, w) = res
     # Mosaic path on real TPU backends ('tpu', this image's 'axon' tunnel);
     # interpreter on CPU (tests / virtual meshes)
     interpret = jax.default_backend() == "cpu"
-    dtex = splat_with_residual(g, grid, plan, h, w, interpret=interpret)
+    dtex = splat_with_residual(g, grid, plan, h, w, compute=compute,
+                               interpret=interpret)
     return dtex, jnp.zeros_like(grid), _plan_zero_cotangents(plan)
 
 
-grid_sample_planned.defvjp(_grid_sample_planned_fwd, _grid_sample_planned_bwd)
+grid_sample_planned_cf.defvjp(_grid_sample_planned_cf_fwd,
+                              _grid_sample_planned_cf_bwd)
+
+
+def grid_sample_planned(texture, grid, plan, compute="f32"):
+    """Channel-last ``[H, W, 3]`` convenience wrapper around
+    :func:`grid_sample_planned_cf` (transposes in/out; the hot path should
+    hoist one channel-first copy per step instead)."""
+    return grid_sample_planned_cf(texture.transpose(2, 0, 1), grid, plan,
+                                  compute)
 
 
 def grid_sample_nearest(texture, grid):

@@ -1,50 +1,117 @@
-"""Host-side planning for the Pallas splat (texture-gradient) kernel.
+"""Host-side planning for the Pallas texture gather/splat kernels.
 
 The backward of bilinear texture sampling is a scatter-add of 4-corner
-weighted pixel gradients into the atlas. XLA's TPU scatter costs ~90ns/index
-(measured: 580ms for one 2x784x1045 level into 4096² — the dominant cost of
-the whole train step). Because UV maps are *constants per scene*, we can plan
-a fast path offline:
+weighted pixel gradients into the atlas; XLA's TPU scatter costs ~90ns/index
+(measured: 580ms for one 2x784x1045 level into 4096² — it dominated the
+training step). Because UV maps are *constants per scene*, a fast path is
+planned offline per (view, pyramid level, texture layer):
 
-- pixels are processed in fixed tiles (TILE_H x TILE_W);
+- pixels are processed in fixed tiles (``tile_h x tile_w``);
 - UV smoothness means a pixel tile's 4-corner footprint usually fits a small
-  texel region; the planner computes each tile's region origin;
-- tiles whose footprint exceeds the region (UV island seams) have their
-  contributions routed to a compact *residual* scatter list (a small XLA
-  scatter), while the kernel zero-weights them via the same in-region test.
+  texel window; the planner sizes the window **per (level, layer)** from the
+  actual footprint distribution (a cost model trades window area — the MXU
+  matmul cost is proportional to it — against seam-tile overflow);
+- tiles are *sorted by window origin* and consecutive tiles sharing a window
+  are grouped: the kernel loads/stores the window once per group;
+- tiles whose footprint exceeds the window (UV island seams) get a secondary
+  window (scheduled as singleton groups in the splat); leftovers go to a
+  compact XLA residual scatter;
+- tiles whose gradient is provably zero (outside the UV mask, or zeroed by
+  the angle/depth gradient weights — see
+  :func:`stylemesh_tpu.data.grad_masks.grad_weight_masks`) are dropped from
+  the splat schedule entirely, and background-only tiles are skipped in the
+  gather.
 
-The plan is computed once per (view, pyramid level, texture layer) at scene-
-cache build time and sliced per batch.
+The plan is computed once per (view, level, layer) at scene-cache build time
+and reused every step the view batch is sampled (``--index_repeat`` in the
+reference is 4..100, so plans amortize heavily).
 """
 
 import dataclasses
-from typing import NamedTuple, Tuple
+import functools
+from typing import Optional, Tuple
 
+import jax
 import numpy as np
 
-
-class PlanArrays(NamedTuple):
-    """Device-side splat plan for one (level, texture-layer) pair, batched
-    over views (a jax pytree carried inside the ViewBatch)."""
-
-    origins: "np.ndarray"  # [V * n_tiles_per_view, 2] int32 (primary window)
-    origins2: "np.ndarray"  # [V * n_tiles_per_view, 2] int32 (seam window)
-    has2: "np.ndarray"  # [V * n_tiles_per_view] int32 0/1
-    res_texel: "np.ndarray"  # [V, cap] int32
-    res_pixel: "np.ndarray"  # [V, cap] int32
-    res_weight: "np.ndarray"  # [V, cap] f32
-
+# defaults (legacy v1 values; the planner normally sizes per (level, layer))
 TILE_H = 16
 TILE_W = 64
 TILE_PX = TILE_H * TILE_W
-# texel region per tile (static kernel shape): covers ~4 texels/pixel plus
-# bilinear margin and the (8, 128) origin-alignment slack at the bench's
-# 4096-atlas / 1045-px-view scale
 REGION_H = 128
 REGION_W = 512
 # HBM window DMA origins must sit on the (sublane, lane) tile grid
 ALIGN_H = 8
 ALIGN_W = 128
+# VMEM budget for the two window scratch buffers (3 channels, f32, x2)
+_MAX_REGION_TEXELS = 256 * 1024
+# splat schedules are padded to multiples of this (fewer recompiles across
+# batches with different live-tile counts)
+_SPLAT_BUCKET = 64
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "g_ids", "g_oy", "g_ox", "g_load", "g_alive", "g_oy2", "g_ox2",
+        "g_has2", "s_ids", "s_oy", "s_ox", "s_load", "s_store", "s_alive",
+        "s_oy2", "s_ox2", "s_has2", "res_texel", "res_pixel", "res_weight",
+    ],
+    meta_fields=["tile_h", "tile_w", "region_h", "region_w"],
+)
+@dataclasses.dataclass(frozen=True)
+class PlanArrays:
+    """Device-side plan for one (level, texture-layer) pair, batched over
+    views. All schedule arrays are ``[V, n]`` with per-view-LOCAL tile ids so
+    the view axis shards cleanly; wrappers flatten and add view offsets.
+
+    Gather schedule (all tiles, sorted by window origin):
+      g_ids[v, i]   tile id processed at grid step i of view v
+      g_oy/g_ox     primary window origin
+      g_load        1 = DMA the window (first tile of a window run)
+      g_alive       0 = tile has no valid non-background pixel (skip, zero out)
+      g_oy2/g_ox2/g_has2  secondary (island-seam) window
+
+    Splat schedule (live tiles only, padded to a bucket):
+      s_ids/s_oy/s_ox     as above
+      s_load/s_store      window run boundaries (load at start, store at end)
+      s_alive             0 = padding
+      s_oy2/s_ox2/s_has2  seam window (seam tiles are singleton runs)
+
+    Residual scatter (contributions outside both windows): res_texel /
+    res_pixel / res_weight ``[V, cap]``.
+
+    Static meta: tile_h/tile_w (pixel tiling) and region_h/region_w (window).
+    """
+
+    g_ids: np.ndarray
+    g_oy: np.ndarray
+    g_ox: np.ndarray
+    g_load: np.ndarray
+    g_alive: np.ndarray
+    g_oy2: np.ndarray
+    g_ox2: np.ndarray
+    g_has2: np.ndarray
+    s_ids: np.ndarray
+    s_oy: np.ndarray
+    s_ox: np.ndarray
+    s_load: np.ndarray
+    s_store: np.ndarray
+    s_alive: np.ndarray
+    s_oy2: np.ndarray
+    s_ox2: np.ndarray
+    s_has2: np.ndarray
+    res_texel: np.ndarray
+    res_pixel: np.ndarray
+    res_weight: np.ndarray
+    tile_h: int = TILE_H
+    tile_w: int = TILE_W
+    region_h: int = REGION_H
+    region_w: int = REGION_W
+
+    @property
+    def tile_px(self):
+        return self.tile_h * self.tile_w
 
 
 def effective_region(tex_h, tex_w, region_h=None, region_w=None):
@@ -80,75 +147,133 @@ def _pad_to_tiles(arr, tile_h, tile_w, fill):
     return arr
 
 
-def tile_uv(uv):
-    """[H, W, 2] -> [n_tiles, TILE_PX, 2] (padded pixels get uv = -10, which
+def tile_uv(uv, tile_h=TILE_H, tile_w=TILE_W):
+    """[H, W, 2] -> [n_tiles, tile_px, 2] (padded pixels get uv = -10, which
     fails every in-region test and has zero planned weight)."""
-    uvp = _pad_to_tiles(uv, TILE_H, TILE_W, -10.0)
+    uvp = _pad_to_tiles(uv, tile_h, tile_w, -10.0)
     hh, ww = uvp.shape[:2]
-    t = uvp.reshape(hh // TILE_H, TILE_H, ww // TILE_W, TILE_W, 2)
-    return t.transpose(0, 2, 1, 3, 4).reshape(-1, TILE_PX, 2)
+    t = uvp.reshape(hh // tile_h, tile_h, ww // tile_w, tile_w, 2)
+    return t.transpose(0, 2, 1, 3, 4).reshape(-1, tile_h * tile_w, 2)
 
 
-@dataclasses.dataclass
-class SplatPlan:
-    """Per (view, level, layer) fast-path plan."""
-
-    tex_hw: Tuple[int, int]
-    image_hw: Tuple[int, int]  # unpadded pixel grid
-    origins: np.ndarray  # [n_tiles, 2] int32 primary window origin (y, x)
-    origins2: np.ndarray  # [n_tiles, 2] int32 secondary (seam) window origin
-    has2: np.ndarray  # [n_tiles] int32 0/1 — tile has a secondary window
-    uv_tiles: np.ndarray  # [n_tiles, TILE_PX, 2] f32
-    # residual scatter (contributions outside their tile's region)
-    res_texel: np.ndarray  # [cap] int32 flat texel index
-    res_pixel: np.ndarray  # [cap] int32 flat pixel index (into H*W)
-    res_weight: np.ndarray  # [cap] f32 (0 for padding)
-    res_count: int
-
-    @property
-    def n_tiles(self):
-        return self.origins.shape[0]
+def _roundup(x, m):
+    return int(-(-int(x) // m) * m)
 
 
-def plan_splat(uv, tex_h, tex_w, region_h=None, region_w=None):
-    """Build the splat plan for one view's [H, W, 2] uv grid."""
-    region_h, region_w = effective_region(tex_h, tex_w, region_h, region_w)
+def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W):
+    """Size the texel window for this (level, layer) from the footprint
+    distribution over all views' tiles.
+
+    Cost model per tile: the kernel's MXU/VPU work is proportional to the
+    window area; a tile whose footprint misses the window pays ~4x (the
+    secondary window runs a per-corner loop). Alignment slack: origins are
+    floored to (8, 128), so the window must cover bbox + align + 2.
+    """
+    fh_all, fw_all = [], []
+    for v in range(uv_views.shape[0]):
+        uvt = tile_uv(np.asarray(uv_views[v], np.float32), tile_h, tile_w)
+        iy0, _, ix0, _, _, _ = _corner_data(uvt, tex_h, tex_w)
+        valid = ((uvt[..., 0] > -5.0)
+                 & ~((uvt[..., 0] == -1.0) & (uvt[..., 1] == -1.0)))
+        any_valid = valid.any(axis=1)
+        if not any_valid.any():
+            continue
+        lo_y = np.min(np.where(valid, iy0, tex_h), axis=1)
+        hi_y = np.max(np.where(valid, iy0, -1), axis=1)
+        lo_x = np.min(np.where(valid, ix0, tex_w), axis=1)
+        hi_x = np.max(np.where(valid, ix0, -1), axis=1)
+        fh_all.append((hi_y - lo_y)[any_valid])
+        fw_all.append((hi_x - lo_x)[any_valid])
+    if not fh_all:
+        return min(64, _roundup(tex_h, ALIGN_H)), min(128, _roundup(tex_w, ALIGN_W))
+    fh = np.concatenate(fh_all).astype(np.int64)
+    fw = np.concatenate(fw_all).astype(np.int64)
+
+    def clamp_hw(need_h, need_w):
+        rh = min(_roundup(max(need_h, 8), ALIGN_H), tex_h)
+        rw = min(_roundup(max(need_w, 128), ALIGN_W), tex_w)
+        # VMEM cap: shrink the larger axis until the window fits the budget
+        while rh * rw > _MAX_REGION_TEXELS:
+            if rw >= 2 * ALIGN_W and rw >= rh:
+                rw -= ALIGN_W
+            elif rh > ALIGN_H:
+                rh -= ALIGN_H
+            else:
+                break
+        return rh, rw
+
+    best = None
+    for q in (1.0, 0.99, 0.95, 0.85):
+        need_h = int(np.quantile(fh, q)) + ALIGN_H + 2
+        need_w = int(np.quantile(fw, q)) + ALIGN_W + 2
+        rh, rw = clamp_hw(need_h, need_w)
+        fits = (fh <= rh - ALIGN_H - 2) & (fw <= rw - ALIGN_W - 2)
+        # seam tiles cost ~4x the window work (per-corner secondary pass)
+        cost = rh * rw * (fits.size + 3 * int((~fits).sum()))
+        if best is None or cost < best[0]:
+            best = (cost, rh, rw)
+    return best[1], best[2]
+
+
+def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
+               weight_mask=None):
+    """Plan one view. Returns a dict of per-tile schedule data + residuals."""
     h, w = uv.shape[:2]
-    uv_tiles = tile_uv(np.asarray(uv, np.float32))
-    n_tiles = uv_tiles.shape[0]
+    uv_tiles = tile_uv(np.asarray(uv, np.float32), tile_h, tile_w)
+    n_tiles, tile_px = uv_tiles.shape[0], tile_h * tile_w
 
     iy0, iy1, ix0, ix1, wy1, wx1 = _corner_data(uv_tiles, tex_h, tex_w)
     # padded pixels excluded entirely; background pixels (baked uv exactly 0
     # -> grid exactly (-1,-1) -> texel (0,0) with weight 1) are handled
-    # analytically by the kernels (a dense masked sum / broadcast), so they
-    # must not pollute the window bbox nor the residual lists
+    # analytically by the wrappers, so they must not pollute the window bbox
+    # nor the residual lists
     valid = uv_tiles[..., 0] > -5.0
     background = (uv_tiles[..., 0] == -1.0) & (uv_tiles[..., 1] == -1.0)
     valid = valid & ~background
+    alive = valid.any(axis=1)
 
-    # region origin: if the tile's content bbox fits the window, anchor at
-    # its min; otherwise (island seams) center on the median so the majority
-    # side stays in-window. Tile-grid-aligned, clamped into the atlas.
+    # splat-liveness: gradient provably zero -> drop from the splat schedule
+    if weight_mask is not None:
+        wm = _pad_to_tiles(np.asarray(weight_mask, bool).reshape(h, w, 1),
+                           tile_h, tile_w, False)
+        hh, ww = wm.shape[:2]
+        wm = wm.reshape(hh // tile_h, tile_h, ww // tile_w, tile_w)
+        wm = wm.transpose(0, 2, 1, 3).reshape(-1, tile_px)
+        s_alive = (valid & wm).any(axis=1)
+    else:
+        s_alive = alive.copy()
+
+    # primary window origin, in preference order:
+    # 1. coarse anchor — footprint min snapped DOWN to a half-region grid, if
+    #    the footprint still fits: nearby tiles then share identical windows
+    #    and the kernel loads/stores each shared window once per run;
+    # 2. fine anchor — min snapped to the (8, 128) DMA alignment;
+    # 3. island seams (footprint exceeds the window) — centered on the
+    #    median so the majority side stays in-window.
     def plan_axis(i0, size, region, align):
         lo = np.min(np.where(valid, i0, size - 1), axis=1)
-        hi = np.max(np.where(valid, i0, 0), axis=1)
-        med = np.median(np.where(valid, i0.astype(np.float64), np.nan), axis=1)
+        med = np.nanmedian(
+            np.where(valid, i0.astype(np.float64), np.nan), axis=1)
         med = np.nan_to_num(med, nan=0.0)
-        fits = (hi - lo) <= (region - align - 2)
-        o = np.where(fits, lo, np.maximum(med - region // 2, 0)).astype(np.int64)
-        o = (o // align) * align
+        hi = np.max(np.where(valid, i0, 0), axis=1)
+        coarse = max(align, (region // 2 // align) * align)
+        o_coarse = (lo // coarse) * coarse
+        # the in-window test is i < o + region and the i1 corner is i0 + 1
+        fits_coarse = (hi - o_coarse) <= (region - 2)
+        fits_fine = (hi - lo) <= (region - align - 2)
+        o_fine = (lo // align) * align
+        o_med = ((np.maximum(med - region // 2, 0)).astype(np.int64)
+                 // align) * align
+        o = np.where(fits_coarse, o_coarse, np.where(fits_fine, o_fine, o_med))
         return np.clip(o, 0, max(size - region, 0)).astype(np.int32)
 
-    # np.median with all-NaN rows warns; suppress (pure-background tiles)
     import warnings
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", RuntimeWarning)
         oy = plan_axis(iy0, tex_h, region_h, ALIGN_H)
         ox = plan_axis(ix0, tex_w, region_w, ALIGN_W)
-    origins = np.stack([oy, ox], axis=1)
 
-    # in-window test per corner contribution (kernels replicate this exactly)
     def in_window(iy, ix, wy, wx):
         return ((iy >= wy[:, None]) & (iy < wy[:, None] + region_h)
                 & (ix >= wx[:, None]) & (ix < wx[:, None] + region_w) & valid)
@@ -160,10 +285,9 @@ def plan_splat(uv, tex_h, tex_w, region_h=None, region_w=None):
         (iy1, ix1, wy1 * wx1),
     ]
 
-    # secondary window for island-seam tiles: plan over the corner
-    # contributions the primary window missed
+    # secondary window over the corner contributions the primary missed
     out1 = [valid & ~in_window(iy, ix, oy, ox) for iy, ix, _ in corners]
-    any_out = np.zeros((n_tiles, TILE_PX), bool)
+    any_out = np.zeros((n_tiles, tile_px), bool)
     lo_y = np.full((n_tiles,), tex_h - 1, np.int64)
     lo_x = np.full((n_tiles,), tex_w - 1, np.int64)
     for (iy, ix, _), o in zip(corners, out1):
@@ -177,74 +301,147 @@ def plan_splat(uv, tex_h, tex_w, region_h=None, region_w=None):
                   max(tex_w - region_w, 0)).astype(np.int32)
     oy2 = np.where(has2 > 0, oy2, 0).astype(np.int32)
     ox2 = np.where(has2 > 0, ox2, 0).astype(np.int32)
-    origins2 = np.stack([oy2, ox2], axis=1)
 
-    # residuals: contributions of valid pixels falling outside the region
+    # residuals: valid contributions outside both windows
+    hh = -(-h // tile_h) * tile_h
+    ww = -(-w // tile_w) * tile_w
+    t_rows = np.arange(n_tiles) // (ww // tile_w)
+    t_cols = np.arange(n_tiles) % (ww // tile_w)
+    in_tile = np.arange(tile_px)
+    py_img = t_rows[:, None] * tile_h + in_tile[None] // tile_w
+    px_img = t_cols[:, None] * tile_w + in_tile[None] % tile_w
+    pix_flat = py_img * w + px_img
+
     res_t, res_p, res_w = [], [], []
-    # map tiled pixel positions back to flat unpadded pixel indices
-    hh = -(-h // TILE_H) * TILE_H
-    ww = -(-w // TILE_W) * TILE_W
-    t_rows = np.arange(n_tiles) // (ww // TILE_W)
-    t_cols = np.arange(n_tiles) % (ww // TILE_W)
-    in_tile = np.arange(TILE_PX)
-    py_img = t_rows[:, None] * TILE_H + in_tile[None] // TILE_W
-    px_img = t_cols[:, None] * TILE_W + in_tile[None] % TILE_W
-    pix_flat = py_img * w + px_img  # valid only where px_img < w, py_img < h
-
     for (iy, ix, wgt), o1 in zip(corners, out1):
-        # residual = outside the primary AND the secondary window
         out = o1 & ~in_window(iy, ix, oy2, ox2)
         if out.any():
             sel = np.nonzero(out)
             res_t.append((iy[sel] * tex_w + ix[sel]).astype(np.int32))
             res_p.append(pix_flat[sel].astype(np.int32))
             res_w.append(wgt[sel].astype(np.float32))
+    res_texel = np.concatenate(res_t) if res_t else np.zeros((0,), np.int32)
+    res_pixel = np.concatenate(res_p) if res_p else np.zeros((0,), np.int32)
+    res_weight = np.concatenate(res_w) if res_w else np.zeros((0,), np.float32)
 
-    if res_t:
-        res_texel = np.concatenate(res_t)
-        res_pixel = np.concatenate(res_p)
-        res_weight = np.concatenate(res_w)
+    return dict(n_tiles=n_tiles, oy=oy, ox=ox, oy2=oy2, ox2=ox2, has2=has2,
+                alive=alive, s_alive=s_alive, res_texel=res_texel,
+                res_pixel=res_pixel, res_weight=res_weight)
+
+
+def _order_and_runs(p, for_splat):
+    """Sort tiles by window; compute load/store flags over window runs.
+
+    Gather: all tiles (dead ones inert), seams handled via a second scratch
+    so they don't break runs. Splat: live tiles only; seam tiles are
+    singleton runs (their secondary pass reuses the window scratch, so the
+    run must be closed around them).
+    """
+    n = p["n_tiles"]
+    alive = p["s_alive"] if for_splat else p["alive"]
+    has2 = p["has2"]
+    oy, ox = p["oy"], p["ox"]
+    if for_splat:
+        ids = np.nonzero(alive)[0]
+        order = ids[np.lexsort((ox[ids], oy[ids], has2[ids] > 0))]
     else:
-        res_texel = np.zeros((0,), np.int32)
-        res_pixel = np.zeros((0,), np.int32)
-        res_weight = np.zeros((0,), np.float32)
-    return SplatPlan(
-        tex_hw=(tex_h, tex_w), image_hw=(h, w), origins=origins,
-        origins2=origins2, has2=has2,
-        uv_tiles=uv_tiles, res_texel=res_texel, res_pixel=res_pixel,
-        res_weight=res_weight, res_count=len(res_texel))
+        order = np.lexsort((ox, oy, ~alive))  # live tiles first, by window
+    o_oy, o_ox = oy[order], ox[order]
+    o_alive = alive[order].astype(np.int32)
+    o_has2 = (has2[order] * o_alive).astype(np.int32)
+
+    m = len(order)
+    load = np.zeros(m, np.int32)
+    store = np.zeros(m, np.int32)
+    last = None
+    last_idx = -1
+    for i in range(m):
+        if not o_alive[i]:
+            continue
+        singleton = for_splat and o_has2[i]
+        if singleton or last is None or (o_oy[i], o_ox[i]) != last:
+            load[i] = 1
+            if for_splat and last_idx >= 0:
+                store[last_idx] = 1
+            last = None if singleton else (o_oy[i], o_ox[i])
+        if singleton:
+            store[i] = 1
+            last_idx = -1
+        else:
+            last_idx = i
+    if for_splat and last_idx >= 0:
+        store[last_idx] = 1
+    return dict(ids=order.astype(np.int32), oy=o_oy, ox=o_ox, load=load,
+                store=store, alive=o_alive, oy2=p["oy2"][order],
+                ox2=p["ox2"][order], has2=o_has2)
 
 
-def plan_arrays_for_views(uv_views, tex_h, tex_w, cap=None,
-                          region_h=None, region_w=None) -> PlanArrays:
-    """Batched plan for ``uv_views [V, H, W, 2]`` (numpy)."""
-    plans = [plan_splat(np.asarray(uv_views[i]), tex_h, tex_w,
-                        region_h, region_w)
-             for i in range(uv_views.shape[0])]
-    origins = np.concatenate([p.origins for p in plans])
-    origins2 = np.concatenate([p.origins2 for p in plans])
-    has2 = np.concatenate([p.has2 for p in plans])
-    rt, rp, rw = pad_residuals(plans, cap=cap)
-    return PlanArrays(origins=origins, origins2=origins2, has2=has2,
-                      res_texel=rt, res_pixel=rp,
-                      res_weight=rw)
+def plan_arrays_for_views(uv_views, tex_h, tex_w, cap=None, region_h=None,
+                          region_w=None, tile_h=TILE_H, tile_w=TILE_W,
+                          weight_masks=None) -> PlanArrays:
+    """Batched plan for ``uv_views [V, H, W, 2]`` (numpy).
 
+    Args:
+        weight_masks: optional ``[V, H, W]`` bool — True where the pixel's
+            gradient may be nonzero (see data/grad_masks.py). Tiles that are
+            False everywhere are dropped from the splat schedule.
+        region_h/w: override the automatic window sizing (tests).
+    """
+    uv_views = np.asarray(uv_views)
+    nv = uv_views.shape[0]
+    if region_h is None or region_w is None:
+        rh, rw = choose_region(uv_views, tex_h, tex_w, tile_h, tile_w)
+        region_h, region_w = (region_h or rh), (region_w or rw)
+    region_h, region_w = effective_region(tex_h, tex_w, region_h, region_w)
 
-def pad_residuals(plans, cap=None):
-    """Pad a list of per-view plans' residuals to a common static cap.
-    Returns stacked (texel [V, cap], pixel [V, cap], weight [V, cap])."""
-    counts = [p.res_count for p in plans]
+    views = [_plan_view(uv_views[v], tex_h, tex_w, tile_h, tile_w,
+                        region_h, region_w,
+                        None if weight_masks is None else weight_masks[v])
+             for v in range(nv)]
+    gs = [_order_and_runs(p, for_splat=False) for p in views]
+    ss = [_order_and_runs(p, for_splat=True) for p in views]
+
+    # pad splat schedules to a common bucket (schedule arrays must be
+    # rectangular; padding entries are inert: alive=0, no load/store)
+    s_len = max(1, max(len(s["ids"]) for s in ss))
+    s_len = _roundup(s_len, _SPLAT_BUCKET)
+
+    def pad(a, n, fill=0):
+        out = np.full((n,), fill, a.dtype if a.size else np.int32)
+        out[:len(a)] = a
+        return out
+
+    def stack(key, seqs, n=None):
+        return np.stack([pad(s[key], n or len(s[key])) for s in seqs])
+
+    g = {k: np.stack([np.asarray(s[k], np.int32) for s in gs])
+         for k in ("ids", "oy", "ox", "load", "alive", "oy2", "ox2", "has2")}
+    s = {k: np.stack([pad(np.asarray(s_[k], np.int32), s_len) for s_ in ss])
+         for k in ("ids", "oy", "ox", "load", "store", "alive", "oy2", "ox2",
+                   "has2")}
+
+    # residuals padded to a power-of-two cap (stable across similar batches)
+    counts = [len(p["res_texel"]) for p in views]
     if cap is None:
         cap = max(1, max(counts))
-        cap = int(2 ** np.ceil(np.log2(cap)))  # stable across similar batches
-    t = np.zeros((len(plans), cap), np.int32)
-    px = np.zeros((len(plans), cap), np.int32)
-    w = np.zeros((len(plans), cap), np.float32)
-    for i, p in enumerate(plans):
-        n = min(p.res_count, cap)
-        if p.res_count > cap:
-            raise ValueError(f"residual cap {cap} < count {p.res_count}")
-        t[i, :n] = p.res_texel[:n]
-        px[i, :n] = p.res_pixel[:n]
-        w[i, :n] = p.res_weight[:n]
-    return t, px, w
+        cap = int(2 ** np.ceil(np.log2(cap)))
+    rt = np.zeros((nv, cap), np.int32)
+    rp = np.zeros((nv, cap), np.int32)
+    rw_ = np.zeros((nv, cap), np.float32)
+    for i, p in enumerate(views):
+        n = len(p["res_texel"])
+        if n > cap:
+            raise ValueError(f"residual cap {cap} < count {n}")
+        rt[i, :n] = p["res_texel"]
+        rp[i, :n] = p["res_pixel"]
+        rw_[i, :n] = p["res_weight"]
+
+    return PlanArrays(
+        g_ids=g["ids"], g_oy=g["oy"], g_ox=g["ox"], g_load=g["load"],
+        g_alive=g["alive"], g_oy2=g["oy2"], g_ox2=g["ox2"], g_has2=g["has2"],
+        s_ids=s["ids"], s_oy=s["oy"], s_ox=s["ox"], s_load=s["load"],
+        s_store=s["store"], s_alive=s["alive"], s_oy2=s["oy2"],
+        s_ox2=s["ox2"], s_has2=s["has2"],
+        res_texel=rt, res_pixel=rp, res_weight=rw_,
+        tile_h=tile_h, tile_w=tile_w,
+        region_h=int(region_h), region_w=int(region_w))

@@ -151,7 +151,9 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
             (pipe_cfg.texture_height // 2 ** i, pipe_cfg.texture_width // 2 ** i)
             for i in range(pipe_cfg.hierarchical_layers)
         ]
-        scene_cache.attach_splat_plans(layer_sizes)
+        scene_cache.attach_splat_plans(
+            layer_sizes, use_angle_weight=pipe_cfg.use_angle_weight,
+            use_depth_scaling=pipe_cfg.use_depth_scaling)
     if vgg_params is None:
         vgg_params = load_vgg(run.vgg_model_path)
     if style_image is None:
@@ -192,18 +194,21 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         }, f, indent=2)
 
     timer = StepTimer()
-    # chunk -> device-resident batch: with the repeat sampler the same views
-    # recur for index_repeat consecutive steps, so host assembly + H2D
-    # amortize to ~zero (the reference pays DataLoader decode every step)
-    last_chunk, last_batch = None, None
+    # chunk -> device-resident batch + precomputed aux: with the repeat
+    # sampler the same views recur for index_repeat consecutive steps, so
+    # host assembly + H2D + the batch-constant step work (content VGG pass,
+    # mask/factor resizes) amortize to ~zero (the reference pays DataLoader
+    # decode AND recomputes those constants every step)
+    last_chunk, last_batch, last_aux = None, None, None
 
     def get_device_batch(chunk):
-        nonlocal last_chunk, last_batch
+        nonlocal last_chunk, last_batch, last_aux
         key = tuple(chunk)
         if key != last_chunk:
             last_batch = jax.device_put(scene_cache.get_batch(chunk))
+            last_aux = pipe.prepare_batch(last_batch)
             last_chunk = key
-        return last_batch
+        return last_batch, last_aux
 
     for epoch in range(run.max_epochs):
         if run.sampler_mode == "repeat" and isinstance(run.index_repeat, int) \
@@ -217,8 +222,8 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
                                    run.index_repeat, seed=run.seed + epoch)
             chunks = batched(stream, run.views_per_batch)
         for chunk in chunks:
-            batch = get_device_batch(chunk)
-            state, losses = pipe.train_step(state, batch)
+            batch, aux = get_device_batch(chunk)
+            state, losses = pipe.train_step(state, batch, aux)
             timer.tick()
             logger.batch_losses("train", {k: float(v) for k, v in losses.items()},
                                 int(state.step))

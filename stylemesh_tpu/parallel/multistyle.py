@@ -83,10 +83,10 @@ class MultiStylePipeline:
 
         return jax.device_put(state, jax.tree.map(shard_for, state))
 
-    def _step(self, state: MultiStyleState, batch):
+    def _step(self, state: MultiStyleState, batch, aux):
         def one_style_loss(texture, targets):
             total, (losses, _) = self.base.loss_with_targets(
-                texture, targets, batch, None)
+                texture, targets, batch, None, aux)
             return total, losses
 
         def total_loss(textures):
@@ -103,9 +103,11 @@ class MultiStylePipeline:
         return MultiStyleState(textures=textures, opt_state=opt_state,
                                step=state.step + 1), losses
 
-    def train_step(self, state, batch):
+    def train_step(self, state, batch, aux=None):
         """One step of all S optimizations (batch replicated, styles sharded).
-        The per-style loss dict has a leading style axis."""
+        The per-style loss dict has a leading style axis. ``aux`` is the
+        style-independent batch precompute (base.prepare_batch) — pass it
+        when the batch repeats across steps."""
         assert batch.splat_plans is None, \
             "multi-style sweeps use the XLA scatter path (planned splats are "\
             "not vmappable yet)"
@@ -113,4 +115,4 @@ class MultiStylePipeline:
             rep = replicate_sharding(self.mesh)
             batch = jax.device_put(batch, jax.tree.map(lambda _: rep, batch))
             self._jit_step = jax.jit(self._step)
-        return self._jit_step(state, batch)
+        return self._jit_step(state, batch, aux)

@@ -39,18 +39,23 @@ class ShardedTexturePipeline(TexturePipeline):
         return jax.device_put(state, jax.tree.map(lambda _: rep, state))
 
     def _build_sharded_step(self, batch):
-        rep = replicate_sharding(self.mesh)
         batch_sh = view_batch_sharding(batch, self.mesh, self.axis_name)
         self._sharded_step = jax.jit(
             self._train_step,
-            in_shardings=(None, batch_sh),
+            in_shardings=(None, batch_sh, None),
             out_shardings=(None, None),
         )
 
-    def train_step(self, state: TrainState, batch):
+    def prepare_batch(self, batch):
+        """Batch-constant precompute on the sharded batch (each chip prepares
+        its own views; results stay sharded for the step)."""
+        batch = shard_view_batch(batch, self.mesh, self.axis_name)
+        return self._jit_prepare_batch(batch)
+
+    def train_step(self, state: TrainState, batch, aux=None):
         """One view-parallel step. ``batch.num_views`` must be divisible by
         the mesh size. The batch may be host numpy; it is placed sharded."""
         batch = shard_view_batch(batch, self.mesh, self.axis_name)
         if self._sharded_step is None:
             self._build_sharded_step(batch)
-        return self._sharded_step(state, batch)
+        return self._sharded_step(state, batch, aux)

@@ -1,26 +1,19 @@
-"""Pallas splat kernel correctness vs the reference XLA scatter-add backward
-(interpret mode on CPU)."""
+"""Pallas splat/gather kernel correctness vs the reference XLA scatter-add /
+gather (interpret mode on CPU)."""
 
 import jax.numpy as jnp
 import numpy as np
 
-from stylemesh_tpu.ops.grid_sample import _scatter_add_grad
-from stylemesh_tpu.ops.splat_pallas import splat_pallas, splat_with_residual
-from stylemesh_tpu.ops.splat_plan import (
-    PlanArrays,
-    pad_residuals,
-    plan_splat,
+from stylemesh_tpu.ops.grid_sample import (
+    _grid_sample_fwd_impl,
+    _scatter_add_grad,
+    grid_sample_planned,
 )
-
-
-def _to_plan_arrays(plans):
-    rt, rp, rw = pad_residuals(plans)
-    return PlanArrays(
-        origins=jnp.asarray(np.concatenate([p.origins for p in plans])),
-        origins2=jnp.asarray(np.concatenate([p.origins2 for p in plans])),
-        has2=jnp.asarray(np.concatenate([p.has2 for p in plans])),
-        res_texel=jnp.asarray(rt), res_pixel=jnp.asarray(rp),
-        res_weight=jnp.asarray(rw))
+from stylemesh_tpu.ops.splat_pallas import (
+    gather_with_residual,
+    splat_with_residual,
+)
+from stylemesh_tpu.ops.splat_plan import plan_arrays_for_views
 
 RNG = np.random.default_rng(71)
 
@@ -52,30 +45,41 @@ def _reference_grad(g, uv, tex_h, tex_w):
     return np.asarray(total)
 
 
-def _run(uv, tex_h, tex_w, region_h=32, region_w=128):
+def _run(uv, tex_h, tex_w, weight_masks=None, g=None, **plan_kw):
     v, h, w = uv.shape[:3]
-    g = RNG.normal(0, 1, size=(v, h, w, 3)).astype(np.float32)
-    plans = [plan_splat(uv[i], tex_h, tex_w, region_h, region_w)
-             for i in range(v)]
-    out = splat_with_residual(
-        jnp.asarray(g), jnp.asarray(uv), _to_plan_arrays(plans),
-        tex_h, tex_w, region_h=region_h, region_w=region_w, interpret=True)
+    if g is None:
+        g = RNG.normal(0, 1, size=(v, h, w, 3)).astype(np.float32)
+    plan = plan_arrays_for_views(uv, tex_h, tex_w, weight_masks=weight_masks,
+                                 **plan_kw)
+    out = splat_with_residual(jnp.asarray(g), jnp.asarray(uv), plan,
+                              tex_h, tex_w, interpret=True)
+    out = np.asarray(out).transpose(1, 2, 0)
     ref = _reference_grad(g, uv, tex_h, tex_w)
-    return np.asarray(out), ref, plans
+    return out, ref, plan
 
 
 def test_splat_smooth_uv_no_residual():
-    uv = _smooth_uv(2, 24, 70, span=0.18)  # footprint fits the window
-    out, ref, plans = _run(uv, 128, 256)
-    assert all(p.res_count == 0 for p in plans)
+    uv = _smooth_uv(2, 24, 70, span=0.18)
+    out, ref, plan = _run(uv, 128, 256)
+    assert plan.res_weight.sum() == 0  # footprints fit the window
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_splat_auto_region_sizing():
+    """The planner picks a per-pair window from the footprints: a tight uv
+    span on a big atlas must not get the full legacy 128x512 window."""
+    uv = _smooth_uv(2, 32, 128, span=0.05)
+    out, ref, plan = _run(uv, 1024, 1024)
+    assert plan.region_h * plan.region_w <= 64 * 384, (plan.region_h,
+                                                       plan.region_w)
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
 def test_splat_with_island_seam_second_window():
     uv = _seamed_uv(1, 20, 128)
-    out, ref, plans = _run(uv, 128, 256)
-    # the seam now engages the secondary window instead of residuals
-    assert plans[0].has2.sum() > 0
+    out, ref, plan = _run(uv, 128, 256, region_h=32, region_w=128)
+    # the seam engages the secondary window instead of residuals
+    assert plan.s_has2.sum() > 0
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
@@ -86,17 +90,16 @@ def test_splat_three_island_residual():
     uv[:, :, 20:40, 1] += 0.5
     uv[:, :, 40:, 1] += 1.2
     uv = np.clip(uv, -1, 1).astype(np.float32)
-    out, ref, plans = _run(uv, 1024, 128, region_h=32, region_w=128)
-    assert plans[0].has2.sum() > 0
-    assert plans[0].res_count > 0
+    out, ref, plan = _run(uv, 1024, 128, region_h=32, region_w=128)
+    assert plan.s_has2.sum() > 0
+    assert plan.res_weight.sum() > 0
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
 def test_splat_border_clamp():
     """uv beyond [-1,1] clamps to the border (duplicate-corner adds)."""
-    uv = _smooth_uv(1, 16, 64, span=1.4, offset=-0.2)  # exceeds the atlas
-    uv = uv.astype(np.float32)
-    out, ref, plans = _run(uv, 64, 128, region_h=64, region_w=128)
+    uv = _smooth_uv(1, 16, 64, span=1.4, offset=-0.2).astype(np.float32)
+    out, ref, plan = _run(uv, 64, 128)
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
@@ -105,6 +108,47 @@ def test_splat_padded_pixels_ignored():
     uv = _smooth_uv(1, 19, 45, span=0.2)
     out, ref, _ = _run(uv, 128, 256)
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_splat_dead_tiles_skipped():
+    """Tiles whose gradient weight is all-zero are dropped from the splat
+    schedule; the result must still match the reference computed on the
+    weighted gradient."""
+    uv = _smooth_uv(2, 32, 128, span=0.3)
+    v, h, w = uv.shape[:3]
+    weight = np.zeros((v, h, w), bool)
+    weight[:, : h // 2] = True  # bottom half provably dead
+    g = RNG.normal(0, 1, size=(v, h, w, 3)).astype(np.float32)
+    g_weighted = g * weight[..., None]  # what autodiff hands the splat
+    out, ref, plan = _run(uv, 128, 256, weight_masks=weight, g=g_weighted)
+    plan_full = plan_arrays_for_views(uv, 128, 256)
+    assert plan.s_alive.sum() < plan_full.s_alive.sum()  # tiles were dropped
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_splat_window_grouping_flags():
+    """Window runs: loads only at run starts, stores only at run ends, and
+    every live tile belongs to exactly one loaded+stored run. With a tight
+    uv span the coarse anchor makes neighboring tiles share windows, so
+    there are fewer runs than live tiles."""
+    uv = _smooth_uv(1, 64, 128, span=0.05)
+    _, _, plan = _run(uv, 1024, 1024)
+    alive = plan.s_alive[0].astype(bool)
+    assert plan.s_load[0].sum() == plan.s_store[0].sum()
+    assert plan.s_load[0].sum() < alive.sum()  # some runs have > 1 tile
+    # runs pair up: between a load and its store the window never changes
+    oy, ox = plan.s_oy[0], plan.s_ox[0]
+    open_run = False
+    for i in range(len(alive)):
+        if not alive[i]:
+            continue
+        if plan.s_load[0][i]:
+            open_run = True
+            run_win = (oy[i], ox[i])
+        assert open_run and (oy[i], ox[i]) == run_win
+        if plan.s_store[0][i]:
+            open_run = False
+    assert not open_run
 
 
 def test_pipeline_gradients_with_plans_match():
@@ -128,7 +172,8 @@ def test_pipeline_gradients_with_plans_match():
     tex = pipe.init().texture
 
     grads_plain = jax.grad(lambda t: pipe.loss_fn(t, batch, None)[0])(tex)
-    batch_p = with_splat_plans(batch, [(128, 128)])
+    batch_p = with_splat_plans(batch, [(128, 128)], use_angle_weight=True,
+                               use_depth_scaling=True)
     grads_plan = jax.grad(lambda t: pipe.loss_fn(t, batch_p, None)[0])(tex)
     for a, b in zip(grads_plain.layers, grads_plan.layers):
         b = np.asarray(b)
@@ -138,14 +183,10 @@ def test_pipeline_gradients_with_plans_match():
 
 
 def test_planned_forward_matches_xla_gather():
-    """NOTE: grid_sample_planned runs the kernels at the default region size,
-    so plans must be built with the defaults too (plan_arrays_for_views)."""
-    from stylemesh_tpu.ops.grid_sample import _grid_sample_fwd_impl, grid_sample_planned
-    from stylemesh_tpu.ops.splat_plan import plan_arrays_for_views
-
     tex = RNG.normal(0, 1, (128, 256, 3)).astype(np.float32)
     for name, uv in [("smooth", _smooth_uv(2, 24, 70, span=0.18)),
-                     ("clamped", _smooth_uv(1, 16, 64, span=1.4, offset=-0.2))]:
+                     ("clamped", _smooth_uv(1, 16, 64, span=1.4, offset=-0.2)),
+                     ("seamed", _seamed_uv(1, 20, 128))]:
         plan = plan_arrays_for_views(uv, 128, 256)
         out = grid_sample_planned(jnp.asarray(tex), jnp.asarray(uv), plan)
         ref = _grid_sample_fwd_impl(jnp.asarray(tex), jnp.asarray(uv))
@@ -154,17 +195,14 @@ def test_planned_forward_matches_xla_gather():
 
 
 def test_planned_forward_residual_path():
-    """A vertical UV seam on a tall atlas exceeds the 128-row window and
+    """A vertical UV seam on a tall atlas exceeds a small window and
     exercises the forward residual overlay."""
-    from stylemesh_tpu.ops.grid_sample import _grid_sample_fwd_impl, grid_sample_planned
-    from stylemesh_tpu.ops.splat_plan import plan_arrays_for_views, plan_splat
-
     tex = RNG.normal(0, 1, (1024, 128, 3)).astype(np.float32)
     uv = _smooth_uv(1, 32, 64, span=0.1, offset=0.1)
     uv[:, 8:, :, 1] += 0.9  # jump in y inside the tiles
     uv = np.clip(uv, -1, 1).astype(np.float32)
-    assert plan_splat(uv[0], 1024, 128).res_count > 0
-    plan = plan_arrays_for_views(uv, 1024, 128)
+    plan = plan_arrays_for_views(uv, 1024, 128, region_h=32, region_w=128)
+    assert plan.res_weight.sum() > 0
     out = grid_sample_planned(jnp.asarray(tex), jnp.asarray(uv), plan)
     ref = _grid_sample_fwd_impl(jnp.asarray(tex), jnp.asarray(uv))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
@@ -172,21 +210,31 @@ def test_planned_forward_residual_path():
 
 def test_splat_background_pixels_analytic():
     """Pixels at grid exactly (-1,-1) (baked-uv background) must hit texel
-    (0,0) with weight 1 via the analytic path — both directions."""
-    from stylemesh_tpu.ops.grid_sample import _grid_sample_fwd_impl
-    from stylemesh_tpu.ops.splat_pallas import gather_with_residual
-    from stylemesh_tpu.ops.splat_plan import pad_residuals
-
+    (0,0) with weight 1 via the analytic path — both directions. Dead
+    (background-only) tiles are skipped in the gather."""
     uv = _smooth_uv(1, 24, 70, span=0.15, offset=0.4)
     uv[:, :6, :, :] = -1.0  # background strip
     uv = uv.astype(np.float32)
-    out, ref, plans = _run(uv, 128, 256)
-    # backward: background never lands in the residual lists
+    out, ref, plan = _run(uv, 128, 256)
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
     tex = RNG.normal(0, 1, (128, 256, 3)).astype(np.float32)
-    fwd = gather_with_residual(jnp.asarray(tex), jnp.asarray(uv),
-                               _to_plan_arrays(plans),
-                               interpret=True, region_h=32, region_w=128)
+    fwd = gather_with_residual(jnp.asarray(tex).transpose(2, 0, 1),
+                               jnp.asarray(uv), plan, interpret=True)
     ref_fwd = _grid_sample_fwd_impl(jnp.asarray(tex), jnp.asarray(uv))
     np.testing.assert_allclose(np.asarray(fwd), np.asarray(ref_fwd), atol=1e-5)
+
+
+def test_bf16_kernels_close():
+    """bf16 kernel compute stays within bf16 rounding of the f32 path."""
+    uv = _smooth_uv(2, 24, 70, span=0.18)
+    v, h, w = uv.shape[:3]
+    g = RNG.normal(0, 1, size=(v, h, w, 3)).astype(np.float32)
+    plan = plan_arrays_for_views(uv, 128, 256)
+    out32 = splat_with_residual(jnp.asarray(g), jnp.asarray(uv), plan,
+                                128, 256, compute="f32", interpret=True)
+    out16 = splat_with_residual(jnp.asarray(g), jnp.asarray(uv), plan,
+                                128, 256, compute="bf16", interpret=True)
+    scale = np.abs(np.asarray(out32)).max()
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               atol=2e-2 * scale)

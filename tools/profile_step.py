@@ -73,12 +73,16 @@ def main():
     layer_sizes = [(cfg.texture_height // 2 ** i, cfg.texture_width // 2 ** i)
                    for i in range(cfg.hierarchical_layers)]
     print("planning...", flush=True)
-    batch = with_splat_plans(batch, layer_sizes)
+    batch = with_splat_plans(batch, layer_sizes,
+                             use_angle_weight=cfg.use_angle_weight,
+                             use_depth_scaling=cfg.use_depth_scaling)
     for li, per_layer in enumerate(batch.splat_plans):
         for lj, p in enumerate(per_layer):
-            n2 = int(np.sum(np.asarray(p.has2)))
-            print(f"  level {li} layer {lj}: tiles={p.origins.shape[0]} "
-                  f"has2={n2} res_cap={p.res_texel.shape[1]}", flush=True)
+            print(f"  level {li} layer {lj}: tiles={p.g_ids.shape} "
+                  f"region={p.region_h}x{p.region_w} "
+                  f"splat_sched={p.s_ids.shape} live={int(p.s_alive.sum())} "
+                  f"loads={int(p.s_load.sum())} has2={int(p.s_has2.sum())} "
+                  f"res_cap={p.res_texel.shape[1]}", flush=True)
 
     pipe = TexturePipeline(cfg, vgg, style)
     state = pipe.init()
