@@ -70,8 +70,12 @@ def _run_bench(batch_views):
         learning_rate=1.0, decay_step_size=3,
         compute_dtype=jnp.bfloat16,
         precision=jax.lax.Precision.DEFAULT,
-        # V<=2 fits HBM without remat; larger batches re-enable it
-        remat_vgg=batch_views > 2,
+        kernel_compute="bf16" if os.environ.get("BENCH_KERNEL_BF16") == "1"
+        else "f32",
+        # V<=4 fits HBM without remat (state donation + sized windows);
+        # larger batches re-enable it
+        remat_vgg=(batch_views > 4
+                   and os.environ.get("BENCH_NO_REMAT") != "1"),
     )
     vgg = init_vgg_params(rng=0, scale=0.05)
     rng = np.random.default_rng(0)

@@ -1,61 +1,133 @@
 """View-parallel training over a device mesh.
 
 One jitted train step where the view batch is sharded across chips and the
-texture (plus optimizer state) is replicated; XLA derives the gradient
-all-reduce over ICI from the sharding annotations. This is the TPU-native
+texture (plus optimizer state) is replicated. The step body is an explicit
+``shard_map`` — each chip runs the full local pipeline (Pallas gather/splat
+kernels included, on its own view slice and plan-schedule slice) and the
+texture gradient is ``pmean``-reduced over ICI. This is the TPU-native
 equivalent the reference never had (it steps one view at a time on one GPU,
 SURVEY.md §2.6).
+
+shard_map (not automatic jit partitioning) is load-bearing here: the Pallas
+window kernels have no SPMD partitioning rule, so under automatic
+partitioning XLA would have to all-gather their operands per call. Inside
+shard_map each chip sees only its local [V/D, ...] arrays — the splat plans
+are laid out [V, n] precisely so they slice along views.
 """
 
-import jax
+import functools
 
-from stylemesh_tpu.models.pipeline import PipelineConfig, TexturePipeline, TrainState
+import jax
+from jax.sharding import PartitionSpec as P
+
+from stylemesh_tpu.models.pipeline import (
+    BatchAux,
+    PipelineConfig,
+    TexturePipeline,
+    TrainState,
+)
 from stylemesh_tpu.parallel.mesh import (
     make_mesh,
     replicate_sharding,
     shard_view_batch,
-    view_batch_sharding,
 )
 
 
 class ShardedTexturePipeline(TexturePipeline):
     """TexturePipeline whose train step runs view-data-parallel on a mesh.
 
-    The loss already averages over views, so sharding the batch's leading
-    axis makes each chip compute its local mean; the texture gradient psum /
-    rescale is inserted by the partitioner.
+    The loss already averages over views, so each chip computes the mean
+    over its local views and gradients/losses are pmean'd — identical math
+    to the single-chip step at any mesh size (equal shard sizes required:
+    ``batch.num_views`` divisible by the mesh size).
     """
 
     def __init__(self, config: PipelineConfig, vgg_params, style_image,
                  mesh=None, axis_name="views"):
+        assert config.gram_mode == "current", (
+            "view-data-parallel training supports gram_mode='current' only "
+            "(the 'average' ring cache is inherently view-sequential)")
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis_name = axis_name
         super().__init__(config, vgg_params, style_image)
         self._sharded_step = None  # built lazily (needs batch structure)
+        self._sharded_eval = None
 
     def init(self, rng=None) -> TrainState:
         state = super().init(rng)
         rep = replicate_sharding(self.mesh)
         return jax.device_put(state, jax.tree.map(lambda _: rep, state))
 
-    def _build_sharded_step(self, batch):
-        batch_sh = view_batch_sharding(batch, self.mesh, self.axis_name)
-        self._sharded_step = jax.jit(
-            self._train_step,
-            in_shardings=(None, batch_sh, None),
-            out_shardings=(None, None),
-        )
+    # --------------------------------------------------------- shard_map body
 
-    def prepare_batch(self, batch):
+    def _local_train_step(self, state, batch, aux):
+        """Runs per chip on the local view slice; grads reduced over ICI."""
+        import optax
+
+        from stylemesh_tpu.models.pipeline import clamp_texture
+
+        (_, (losses, new_cache)), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True)(state.texture, batch,
+                                        state.gram_cache, aux)
+        grads = jax.lax.pmean(grads, self.axis_name)
+        losses = jax.lax.pmean(losses, self.axis_name)
+        updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                   state.texture)
+        texture = clamp_texture(optax.apply_updates(state.texture, updates))
+        return TrainState(texture=texture, opt_state=opt_state,
+                          step=state.step + 1, gram_cache=new_cache), losses
+
+    def _local_eval_step(self, state, batch, aux):
+        _, (losses, _) = self.loss_fn(state.texture, batch,
+                                      state.gram_cache, aux)
+        return jax.lax.pmean(losses, self.axis_name)
+
+    def _specs(self, tree_):
+        return jax.tree.map(lambda _: P(self.axis_name), tree_)
+
+    def _build_sharded_step(self, batch, aux):
+        smapped = jax.shard_map(
+            self._local_train_step, mesh=self.mesh, check_vma=False,
+            in_specs=(P(), self._specs(batch), self._specs(aux)),
+            out_specs=(P(), P()))
+        self._sharded_step = jax.jit(smapped, donate_argnums=(0,))
+
+    def _build_sharded_eval(self, batch, aux):
+        smapped = jax.shard_map(
+            self._local_eval_step, mesh=self.mesh, check_vma=False,
+            in_specs=(P(), self._specs(batch), self._specs(aux)),
+            out_specs=P())
+        self._sharded_eval = jax.jit(smapped)
+
+    # --------------------------------------------------------------- public
+
+    def prepare_batch(self, batch) -> BatchAux:
         """Batch-constant precompute on the sharded batch (each chip prepares
-        its own views; results stay sharded for the step)."""
+        its own views; results stay view-sharded for the step)."""
         batch = shard_view_batch(batch, self.mesh, self.axis_name)
-        return self._jit_prepare_batch(batch)
+        smapped = jax.shard_map(
+            self._prepare_batch, mesh=self.mesh, check_vma=False,
+            in_specs=(self._specs(batch),),
+            out_specs=jax.tree.map(lambda _: P(self.axis_name),
+                                   jax.eval_shape(self._prepare_batch, batch)))
+        return jax.jit(smapped)(batch)
 
     def train_step(self, state: TrainState, batch, aux=None):
         """One view-parallel step. ``batch.num_views`` must be divisible by
         the mesh size. The batch may be host numpy; it is placed sharded."""
+        assert batch.num_views % self.mesh.size == 0, (
+            batch.num_views, self.mesh.size)
         batch = shard_view_batch(batch, self.mesh, self.axis_name)
+        if aux is None:
+            aux = self.prepare_batch(batch)
         if self._sharded_step is None:
-            self._build_sharded_step(batch)
+            self._build_sharded_step(batch, aux)
         return self._sharded_step(state, batch, aux)
+
+    def eval_step(self, state: TrainState, batch, aux=None):
+        batch = shard_view_batch(batch, self.mesh, self.axis_name)
+        if aux is None:
+            aux = self.prepare_batch(batch)
+        if self._sharded_eval is None:
+            self._build_sharded_eval(batch, aux)
+        return self._sharded_eval(state, batch, aux)

@@ -54,6 +54,39 @@ def test_sharded_step_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_sharded_step_with_splat_plans_matches(setup):
+    """The production combination: view-DP shard_map + Pallas plan schedules
+    sliced per chip. Gradients/updates must match the single-device planned
+    step AND the plan-free sharded step."""
+    import dataclasses
+
+    from stylemesh_tpu.data.synthetic import with_splat_plans
+
+    cfg, vgg, style, batch = setup
+    # 128-wide texture so layer 0 (64x128) is plan-eligible; layer 1 (32x64)
+    # is not 128-aligned and exercises the mixed plan/XLA-fallback path
+    cfg128 = dataclasses.replace(cfg, texture_width=128, texture_height=64)
+    batch_p = with_splat_plans(batch, [(64, 128), (32, 64)],
+                               use_angle_weight=True, use_depth_scaling=True)
+    assert batch_p.splat_plans[0][0] is not None
+    assert batch_p.splat_plans[0][1] is None
+
+    single = TexturePipeline(cfg128, vgg, style)
+    s_state = single.init()
+    s_state, s_losses = single.train_step(s_state, batch_p)
+
+    mesh = make_mesh(jax.devices())
+    sharded = ShardedTexturePipeline(cfg128, vgg, style, mesh=mesh)
+    p_state = sharded.init()
+    p_state, p_losses = sharded.train_step(p_state, batch_p)
+
+    for k in s_losses:
+        np.testing.assert_allclose(float(p_losses[k]), float(s_losses[k]),
+                                   rtol=2e-4, err_msg=k)
+    for a, b in zip(s_state.texture.layers, p_state.texture.layers):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_sharded_multiple_steps(setup):
     cfg, vgg, style, batch = setup
     mesh = make_mesh(jax.devices())

@@ -42,20 +42,23 @@ def main():
     batch = synthetic_view_batch(
         num_views=V, content_hw=(256, 341),
         level_heights=(256, 432, 608, 784), aspect=1280.0 / 960.0,
-        min_depth=0.25, seed=0)
+        min_depth=0.25, seed=0, depth_range=(0.4, 7.0))
     layer_sizes = [(cfg.texture_height // 2 ** i, cfg.texture_width // 2 ** i)
                    for i in range(cfg.hierarchical_layers)]
-    batch = with_splat_plans(batch, layer_sizes)
+    batch = with_splat_plans(batch, layer_sizes,
+                             use_angle_weight=cfg.use_angle_weight,
+                             use_depth_scaling=cfg.use_depth_scaling)
     pipe = TexturePipeline(cfg, vgg, style)
     state = pipe.init()
 
     # compile + warm
-    state, losses = pipe.train_step(state, batch)
+    aux = pipe.prepare_batch(batch)
+    state, losses = pipe.train_step(state, batch, aux)
     jax.block_until_ready(losses)
 
     jax.profiler.start_trace(OUT)
     for _ in range(3):
-        state, losses = pipe.train_step(state, batch)
+        state, losses = pipe.train_step(state, batch, aux)
     jax.block_until_ready(losses)
     jax.profiler.stop_trace()
     time.sleep(2)
