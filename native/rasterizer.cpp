@@ -119,13 +119,25 @@ void raster_face(Framebuffer& fb, const Camera& cam, int face_id,
   float inv_area = 1.0f / area;
   float inv_z[3] = {1.f / pc[0].z, 1.f / pc[1].z, 1.f / pc[2].z};
 
-  // screen-space uv derivative scale for mip LOD (approx: uv-texel area vs
-  // pixel area of the whole face — constant per face, like a per-face
-  // textureQueryLod approximation)
-  float du1 = (uvc[1][0] - uvc[0][0]) * tex_w, dv1 = (uvc[1][1] - uvc[0][1]) * tex_h;
-  float du2 = (uvc[2][0] - uvc[0][0]) * tex_w, dv2 = (uvc[2][1] - uvc[0][1]) * tex_h;
-  float uv_area = std::fabs(du1 * dv2 - du2 * dv1);
-  float face_lod = 0.5f * std::log2(std::max(uv_area / std::max(std::fabs(area), eps), 1e-12f));
+  // per-pixel mip LOD via exact perspective-correct screen derivatives
+  // (textureQueryLod semantics, uvmap.frag): u(x,y) = num_u/den with
+  // num_u = sum_i w_i(x,y) * u_i/z_i and den = sum_i w_i/z_i, where the
+  // barycentric w_i are affine in screen space — so num/den gradients are
+  // per-face constants and du/dx = (gnum_x - u * gden_x) * z per pixel.
+  float g_x[3] = {-(sy[2] - sy[1]) * inv_area, -(sy[0] - sy[2]) * inv_area, 0.f};
+  float g_y[3] = {(sx[2] - sx[1]) * inv_area, (sx[0] - sx[2]) * inv_area, 0.f};
+  g_x[2] = -g_x[0] - g_x[1];
+  g_y[2] = -g_y[0] - g_y[1];
+  float gnum_ux = 0.f, gnum_uy = 0.f, gnum_vx = 0.f, gnum_vy = 0.f;
+  float gden_x = 0.f, gden_y = 0.f;
+  for (int i = 0; i < 3; i++) {
+    gnum_ux += g_x[i] * uvc[i][0] * inv_z[i];
+    gnum_uy += g_y[i] * uvc[i][0] * inv_z[i];
+    gnum_vx += g_x[i] * uvc[i][1] * inv_z[i];
+    gnum_vy += g_y[i] * uvc[i][1] * inv_z[i];
+    gden_x += g_x[i] * inv_z[i];
+    gden_y += g_y[i] * inv_z[i];
+  }
 
   for (int py = y0; py <= y1; py++) {
     for (int px = x0; px <= x1; px++) {
@@ -153,12 +165,18 @@ void raster_face(Framebuffer& fb, const Camera& cam, int face_id,
       V3 view = normalize({-pos.x, -pos.y, -pos.z});
       float cosang = std::max(dot(nh, view), 0.0f);
 
+      float dudx = (gnum_ux - u * gden_x) * z * tex_w;
+      float dudy = (gnum_uy - u * gden_y) * z * tex_w;
+      float dvdx = (gnum_vx - v * gden_x) * z * tex_h;
+      float dvdy = (gnum_vy - v * gden_y) * z * tex_h;
+      float rho2 = std::max(dudx * dudx + dvdx * dvdx,
+                            dudy * dudy + dvdy * dvdy);
       fb.zbuf[idx] = z;
       fb.uv[idx * 2 + 0] = u;
       fb.uv[idx * 2 + 1] = v;
       fb.angle[idx] = cosang;
       fb.face[idx] = face_id;
-      fb.lod[idx] = face_lod;
+      fb.lod[idx] = 0.5f * std::log2(std::max(rho2, 1e-20f));
     }
   }
 }
@@ -170,14 +188,19 @@ extern "C" {
 // Rasterize one view. All matrices row-major float32.
 //  vertices [n_verts*3], faces [n_faces*3] int32, uvs [n_verts*2],
 //  normals [n_verts*3], cam2world [16], out_uv [h*w*2], out_angle [h*w],
-//  out_depth [h*w]. Returns number of covered pixels.
+//  out_depth [h*w], out_lod [h*w] (nullable). Returns covered pixel count.
+//
+// out_lod replicates uvmap.frag's third channel: textureQueryLod against a
+// 1024^2 texture (the GL renderer's default texture at bake time,
+// renderer.cpp:120), clamped to its mip range [0, 10].
 int64_t sm_rasterize(const float* vertices, int64_t n_verts,
                      const int32_t* faces, int64_t n_faces,
                      const float* uvs, const float* normals,
                      const float* cam2world,
                      float fx, float fy, float cx, float cy,
                      int32_t h, int32_t w,
-                     float* out_uv, float* out_angle, float* out_depth) {
+                     float* out_uv, float* out_angle, float* out_depth,
+                     float* out_lod) {
   (void)n_verts;
   Camera cam = make_camera(cam2world, fx, fy, cx, cy);
   Framebuffer fb(h, w);
@@ -195,7 +218,7 @@ int64_t sm_rasterize(const float* vertices, int64_t n_verts,
       const float* n = normals + (size_t)idx[k] * 3;
       nc[k] = cam.rot(n);
     }
-    raster_face(fb, cam, (int)f, pc, uvc, nc, 1.f, 1.f);
+    raster_face(fb, cam, (int)f, pc, uvc, nc, 1024.f, 1024.f);
   }
 
   int64_t covered = 0;
@@ -205,6 +228,8 @@ int64_t sm_rasterize(const float* vertices, int64_t n_verts,
     out_uv[i * 2 + 0] = hit ? fb.uv[i * 2 + 0] : 0.f;
     out_uv[i * 2 + 1] = hit ? fb.uv[i * 2 + 1] : 0.f;
     out_angle[i] = hit ? fb.angle[i] : 0.f;
+    if (out_lod)
+      out_lod[i] = hit ? std::min(std::max(fb.lod[i], 0.f), 10.f) : 0.f;
     covered += hit;
   }
   return covered;

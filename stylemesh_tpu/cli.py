@@ -177,14 +177,19 @@ def main(argv=None):
 
     if run.run_post_steps:
         from stylemesh_tpu.eval.reprojection import eval_reprojection_consistency
+        from stylemesh_tpu.optimize import build_lpips
         from stylemesh_tpu.texturing.video import video_from_files
         import os
 
         styled_dir = os.path.join(log_dir, "styled")
         frames = render_styled_frames(state.texture, cache, styled_dir)
         video_from_files(frames, os.path.join(log_dir, "styled.mp4"))
+        # the reference always reports LPIPS alongside MSE
+        # (eval_image_folders.py:237-242); lpips_calibrated in the JSON says
+        # whether converted lin weights were found
+        lpips_fn = build_lpips(run.vgg_model_path)
         results = eval_reprojection_consistency(
-            cache, styled_dir, out_dir=log_dir, seed=42)
+            cache, styled_dir, out_dir=log_dir, seed=42, lpips_fn=lpips_fn)
         print("reprojection eval:", results)
     return state, log_dir
 

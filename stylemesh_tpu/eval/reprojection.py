@@ -77,11 +77,12 @@ def eval_reprojection_consistency(scene_cache, styled_dir, out_dir=None,
                                   seed=42, pair_threshold=20,
                                   pair_threshold_short=1,
                                   pair_threshold_long=10, lpips_fn=None,
-                                  save_images=True):
+                                  save_images=True, styled_paths=None):
     """Returns the metric dict and writes ``<timestamp>_output.json``.
 
     Styled frames are read from ``styled_dir`` as ``<dataset idx>.png`` (the
-    output of ``render_styled_frames``); rgb/depth/pose come from the cache.
+    output of ``render_styled_frames``) unless explicit ``styled_paths`` are
+    given (the standalone folder CLI); rgb/depth/pose come from the cache.
     The metric operates in Gatys space like the reference (styled images are
     pre()-transformed before the MSE, eval_image_folders.py:85-92).
     """
@@ -99,9 +100,11 @@ def eval_reprojection_consistency(scene_cache, styled_dir, out_dir=None,
     short_pairs = sample_pairs_det(n, pair_threshold_short)
     long_pairs = sample_pairs_det(n, pair_threshold_long)
 
+    if styled_paths is None:
+        styled_paths = [join(styled_dir, f"{idx}.png")
+                        for idx in scene_cache.indices]
     styled = np.stack([
-        gatys_pre_np(_load_styled(join(styled_dir, f"{idx}.png"), hw))
-        for idx in scene_cache.indices
+        gatys_pre_np(_load_styled(p, hw)) for p in styled_paths
     ])
     depth = np.asarray(b.depth)
     poses = np.asarray(b.extrinsics)

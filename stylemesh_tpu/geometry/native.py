@@ -55,7 +55,7 @@ def load_library(rebuild=False):
     lib.sm_rasterize.argtypes = [
         f32p, ctypes.c_int64, i32p, ctypes.c_int64, f32p, f32p, f32p,
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-        ctypes.c_int32, ctypes.c_int32, f32p, f32p, f32p,
+        ctypes.c_int32, ctypes.c_int32, f32p, f32p, f32p, f32p,
     ]
     lib.sm_render_textured.restype = ctypes.c_int64
     lib.sm_render_textured.argtypes = [
@@ -80,7 +80,10 @@ def _prep(vertices, faces, uvs, normals, cam2world):
 def rasterize_mesh_native(vertices, faces, uvs, normals, cam2world,
                           intrinsics, hw):
     """Native twin of ``rasterize_mesh``: returns (uv [H,W,2],
-    cos_angle [H,W], depth [H,W], hit [H,W])."""
+    cos_angle [H,W], depth [H,W], hit [H,W], lod [H,W]).
+
+    ``lod`` is the baked mip level (uvmap.frag's textureQueryLod channel,
+    computed against the GL bake-time 1024^2 texture, clamped to [0, 10])."""
     lib = load_library()
     v, f, u, n, c = _prep(vertices, faces, uvs, normals, cam2world)
     k = np.asarray(intrinsics, np.float32)
@@ -88,10 +91,11 @@ def rasterize_mesh_native(vertices, faces, uvs, normals, cam2world,
     out_uv = np.zeros((h, w, 2), np.float32)
     out_angle = np.zeros((h, w), np.float32)
     out_depth = np.zeros((h, w), np.float32)
+    out_lod = np.zeros((h, w), np.float32)
     lib.sm_rasterize(v, len(v), f, len(f), u, n, c,
                      float(k[0, 0]), float(k[1, 1]), float(k[0, 2]), float(k[1, 2]),
-                     h, w, out_uv, out_angle, out_depth)
-    return out_uv, out_angle, out_depth, out_depth > 0
+                     h, w, out_uv, out_angle, out_depth, out_lod)
+    return out_uv, out_angle, out_depth, out_depth > 0, out_lod
 
 
 def render_textured_native(vertices, faces, uvs, normals, cam2world,

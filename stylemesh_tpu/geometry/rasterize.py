@@ -57,10 +57,11 @@ def _rasterize_impl(verts_cam, face_verts, face_valid, uvs_f, normals_f,
         jnp.full((h * w,), jnp.inf, jnp.float32),  # zbuf
         jnp.zeros((h * w, 2), jnp.float32),  # uv
         jnp.zeros((h * w,), jnp.float32),  # cos angle
+        jnp.zeros((h * w,), jnp.float32),  # mip lod
     )
 
     def body(carry, chunk_idx):
-        zbuf, uv_out, ang_out = carry
+        zbuf, uv_out, ang_out, lod_out = carry
         s = chunk_idx * face_chunk
         fv = jax.lax.dynamic_slice_in_dim(face_verts, s, face_chunk, 0)  # [F,3,3]
         fuv = jax.lax.dynamic_slice_in_dim(uvs_f, s, face_chunk, 0)  # [F,3,2]
@@ -113,32 +114,59 @@ def _rasterize_impl(verts_cam, face_verts, face_valid, uvs_f, normals_f,
         v_hat = -pos_pix / (jnp.linalg.norm(pos_pix, axis=-1, keepdims=True) + eps)
         cosang = jnp.maximum(jnp.sum(n_hat * v_hat, axis=-1), 0.0)  # [F, P]
 
+        # per-pixel mip LOD (textureQueryLod, uvmap.frag): u = num/den with
+        # num = sum_i l_i * u_i/z_i, den = sum_i l_i/z_i; the barycentric l_i
+        # are affine in screen space so the num/den gradients are per-face
+        # constants and du/dx = (gnum_x - u * gden_x) * z per pixel. Scale
+        # matches the GL bake: a 1024^2 texture, clamp to its [0, 10] mips.
+        gl_x = jnp.stack([-(c[:, 1] - b[:, 1]), -(a[:, 1] - c[:, 1])], -1)
+        gl_y = jnp.stack([c[:, 0] - b[:, 0], a[:, 0] - c[:, 0]], -1)
+        gl_x = jnp.concatenate(
+            [gl_x, -jnp.sum(gl_x, -1, keepdims=True)], -1) / area_safe[:, None]
+        gl_y = jnp.concatenate(
+            [gl_y, -jnp.sum(gl_y, -1, keepdims=True)], -1) / area_safe[:, None]
+        uv_over_z = fuv / z[..., None]  # [F, 3, 2]
+        gnum_x = jnp.einsum("fi,fik->fk", gl_x, uv_over_z)  # [F, 2]
+        gnum_y = jnp.einsum("fi,fik->fk", gl_y, uv_over_z)
+        gden_x = jnp.sum(gl_x / z, axis=1)  # [F]
+        gden_y = jnp.sum(gl_y / z, axis=1)
+        duv_dx = (gnum_x[:, None] - uv_pix * gden_x[:, None, None]) \
+            * z_pix[..., None] * 1024.0  # [F, P, 2]
+        duv_dy = (gnum_y[:, None] - uv_pix * gden_y[:, None, None]) \
+            * z_pix[..., None] * 1024.0
+        rho2 = jnp.maximum(jnp.sum(duv_dx * duv_dx, -1),
+                           jnp.sum(duv_dy * duv_dy, -1))  # [F, P]
+        lod = jnp.clip(0.5 * jnp.log2(jnp.maximum(rho2, 1e-20)), 0.0, 10.0)
+
         z_cand = jnp.where(inside & (z_pix > eps), z_pix, jnp.inf)
         best_f = jnp.argmin(z_cand, axis=0)  # [P]
         best_z = jnp.take_along_axis(z_cand, best_f[None], axis=0)[0]
         best_uv = jnp.take_along_axis(uv_pix, best_f[None, :, None], axis=0)[0]
         best_ang = jnp.take_along_axis(cosang, best_f[None], axis=0)[0]
+        best_lod = jnp.take_along_axis(lod, best_f[None], axis=0)[0]
 
         closer = best_z < zbuf
         zbuf = jnp.where(closer, best_z, zbuf)
         uv_out = jnp.where(closer[:, None], best_uv, uv_out)
         ang_out = jnp.where(closer, best_ang, ang_out)
-        return (zbuf, uv_out, ang_out), None
+        lod_out = jnp.where(closer, best_lod, lod_out)
+        return (zbuf, uv_out, ang_out, lod_out), None
 
-    (zbuf, uv_out, ang_out), _ = jax.lax.scan(
+    (zbuf, uv_out, ang_out, lod_out), _ = jax.lax.scan(
         body, init, jnp.arange(n_chunks))
 
     hit = jnp.isfinite(zbuf)
     depth = jnp.where(hit, zbuf, 0.0).reshape(h, w)
     uv = jnp.where(hit[:, None], uv_out, 0.0).reshape(h, w, 2)
     ang = jnp.where(hit, ang_out, 0.0).reshape(h, w)
-    return uv, ang, depth, hit.reshape(h, w)
+    lod = jnp.where(hit, lod_out, 0.0).reshape(h, w)
+    return uv, ang, depth, hit.reshape(h, w), lod
 
 
 def rasterize_mesh(vertices, faces, uvs, normals, cam2world, intrinsics, hw,
                    face_chunk=256):
     """Rasterize one view; returns (uv [H,W,2], cos_angle [H,W],
-    depth [H,W], hit_mask [H,W]).
+    depth [H,W], hit_mask [H,W], lod [H,W]).
 
     Args:
         vertices: ``[Nv, 3]`` world-space positions.

@@ -149,6 +149,10 @@ class ContentAndStyleLoss:
         all_layers = self.layers
         content_encs = self._encode(vgg_params, target_content,
                                     self.content_layers)
+        # storage dtype for the big per-layer constants: masks are 0/1 (bf16
+        # is exact for them); content targets follow the compute dtype (they
+        # came out of bf16 VGG activations anyway when compute_dtype is set)
+        store = self.compute_dtype or jnp.float32
 
         masks = [dict() for _ in range(num_levels)]
         masks_passed = [dict() for _ in range(num_levels)]
@@ -168,9 +172,9 @@ class ContentAndStyleLoss:
                 if fhw not in by_hw:  # r41/r42 share a resolution
                     m = resize_nearest(mask, fhw)
                     by_hw[fhw] = (
-                        m,
-                        resize_nearest(mask * passed, fhw),
-                        resize_nearest(mask * (1.0 - passed), fhw),
+                        m.astype(store),
+                        resize_nearest(mask * passed, fhw).astype(store),
+                        resize_nearest(mask * (1.0 - passed), fhw).astype(store),
                         jnp.mean(m.reshape(v, -1), axis=1),
                     )
                 m, mp, mf, f = by_hw[fhw]
@@ -180,7 +184,7 @@ class ContentAndStyleLoss:
                 factors[i][k] = f  # [V]
                 if k in self.content_layers:
                     content_targets[i][k] = resize_bilinear(
-                        content_encs[k].astype(jnp.float32), fhw)
+                        content_encs[k].astype(jnp.float32), fhw).astype(store)
 
         # --- normalize factors across levels per layer (reference :199-204),
         # guarded against all-empty layers (reference would drop such batches).
@@ -242,7 +246,7 @@ class ContentAndStyleLoss:
             for k in self.style_layers:
                 m = (masks_passed[i][k] if self.style_pyramid_mode == "multi"
                      else masks[i][k])
-                g[k] = masked_gram(pred_encs[i][k].astype(jnp.float32), m)
+                g[k] = masked_gram(pred_encs[i][k], m)
             y_hat_grams.append(g)
 
         new_cache = gram_cache
@@ -308,7 +312,7 @@ class ContentAndStyleLoss:
                 if self.style_pyramid_mode == "multi":
                     # bad-angle areas are stylized only with the larger style
                     # image (reference :328-333), active only when non-empty.
-                    y_hat_failed = masked_gram(pred_encs[i][k].astype(jnp.float32),
+                    y_hat_failed = masked_gram(pred_encs[i][k],
                                                masks_failed[i][k])
                     has_failed = (jnp.sum(masks_failed[i][k].reshape(v, -1), axis=1)
                                   > 0).astype(jnp.float32)
@@ -322,7 +326,7 @@ class ContentAndStyleLoss:
             for li, k in enumerate(self.content_layers):
                 f = factors[i][k]
                 l = masked_mse(content_targets[i][k],
-                               pred_encs[i][k].astype(jnp.float32), masks[i][k])
+                               pred_encs[i][k], masks[i][k])
                 content_loss = content_loss + jnp.mean(
                     jnp.float32(self.content_weights[li]) * f * l)
 

@@ -22,11 +22,20 @@ import jax.numpy as jnp
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def _gram_precision(dtype):
+    """f32 inputs need HIGHEST (the platform default is low-precision
+    passes); bf16 inputs take the native one-pass MXU path, which is
+    BIT-IDENTICAL to casting them to f32 under HIGHEST — bf16 x bf16
+    products are exact in the fp32 accumulator."""
+    return _PREC if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
 def gram_matrix(features):
-    """``[B, H, W, C] -> [B, C, C]``, divided by the pixel count H*W."""
+    """``[B, H, W, C] -> [B, C, C]`` fp32, divided by the pixel count H*W."""
     b, h, w, c = features.shape
     f = features.reshape(b, h * w, c)
-    g = jnp.einsum("bpc,bpd->bcd", f, f, precision=_PREC,
+    g = jnp.einsum("bpc,bpd->bcd", f, f,
+                   precision=_gram_precision(features.dtype),
                    preferred_element_type=jnp.float32)
     return g / jnp.asarray(h * w, dtype=g.dtype)
 
@@ -44,10 +53,11 @@ def masked_gram(features, mask):
     b, h, w, c = features.shape
     m = mask.astype(features.dtype)
     fm = (features * m).reshape(b, h * w, c)
-    g = jnp.einsum("bpc,bpd->bcd", fm, fm, precision=_PREC,
+    g = jnp.einsum("bpc,bpd->bcd", fm, fm,
+                   precision=_gram_precision(features.dtype),
                    preferred_element_type=jnp.float32)
-    count = jnp.sum(m.reshape(b, -1), axis=1).astype(g.dtype)
-    denom = jnp.where(count > 0, count, 1.0)
+    count = jnp.sum(m.astype(jnp.float32).reshape(b, -1), axis=1)
+    denom = jnp.where(count > 0, count, 1.0).astype(g.dtype)
     return g / denom[:, None, None]
 
 

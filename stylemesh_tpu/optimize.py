@@ -113,6 +113,28 @@ def load_vgg(path):
     return init_vgg_params(rng=0)
 
 
+def build_lpips(vgg_model_path="", lpips_weights=""):
+    """LPIPS distance for the eval chain (reference always computes
+    LPIPS-VGG, eval_image_folders.py:237-242).
+
+    Calibrated lin weights are loaded from ``lpips_weights``, the
+    ``STYLEMESH_LPIPS_WEIGHTS`` env var, or an ``lpips_lin.npz`` next to the
+    VGG weights file — otherwise the structurally-identical uncalibrated
+    fallback runs and the result JSON carries ``lpips_calibrated: false``
+    (numbers are then NOT comparable to the paper's)."""
+    from stylemesh_tpu.eval.lpips import LPIPSDistance
+
+    candidates = [lpips_weights, os.environ.get("STYLEMESH_LPIPS_WEIGHTS", "")]
+    if vgg_model_path:
+        candidates.append(join(os.path.dirname(vgg_model_path), "lpips_lin.npz"))
+    lin = None
+    for c in candidates:
+        if c and os.path.exists(c):
+            lin = LPIPSDistance.load_lin_weights(c)
+            break
+    return LPIPSDistance(load_vgg(vgg_model_path), lin_weights=lin)
+
+
 def discover_scene(run: RunConfig):
     kw = dict(pyramid_levels=run.pyramid_levels,
               min_pyramid_height=run.min_pyramid_height,

@@ -2,10 +2,16 @@
 
 The reference styles a scene with many style images by re-running the whole
 pipeline per style (the 120styles set). TPU-native: S independent texture
-optimizations run in one jitted step — textures and style-Gram targets carry
-a leading style axis sharded across the mesh, the view batch (and the shared
-UV cache) is replicated, and there is NO gradient traffic between chips
-(embarrassingly parallel; across pod slices this axis rides DCN).
+optimizations run in one jitted step — textures, optimizer moments and
+style-Gram targets carry a leading style axis sharded across the mesh, the
+view batch (and the shared UV cache + Pallas splat plans, which are
+style-invariant) is replicated, and there is NO gradient traffic between
+chips (embarrassingly parallel; across pod slices this axis rides DCN).
+
+The step body is a ``shard_map`` over the style axis: each chip loops over
+its local styles (usually one) and runs the full planned pipeline per style,
+so the Pallas gather/splat kernels work unchanged — no vmap batching rule
+needed.
 
 ``gram_mode='average'`` is not supported here (its rolling cache is
 per-style state; use the default 'current').
@@ -55,8 +61,14 @@ class MultiStylePipeline:
         self.style_targets = jax.tree.map(
             lambda *xs: jnp.stack(xs), *targets)
         self.num_styles = len(style_images)
+        assert self.num_styles % self.mesh.size == 0, (
+            self.num_styles, self.mesh.size)
         self.optimizer = self.base.optimizer
         self._jit_step = None
+
+    def prepare_batch(self, batch):
+        """Style-independent batch precompute (shared by all styles)."""
+        return self.base.prepare_batch(batch)
 
     def init(self) -> MultiStyleState:
         cfg = self.config
@@ -71,48 +83,64 @@ class MultiStylePipeline:
             opt_state=self.optimizer.init(textures),
             step=jnp.zeros((), jnp.int32),
         )
-        style_sh = NamedSharding(self.mesh, P(self.axis_name))
-        rep = replicate_sharding(self.mesh)
+        return jax.device_put(state, self._state_shardings(state))
 
-        def shard_for(x):
-            # style-sharded iff the leaf carries the style axis (adam's step
-            # counter and other scalars stay replicated)
-            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == self.num_styles:
-                return style_sh
-            return rep
+    def _style_spec(self, x):
+        # style-sharded iff the leaf carries the style axis (adam's step
+        # counter and other scalars stay replicated)
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == self.num_styles:
+            return P(self.axis_name)
+        return P()
 
-        return jax.device_put(state, jax.tree.map(shard_for, state))
+    def _state_shardings(self, state):
+        return jax.tree.map(
+            lambda x: NamedSharding(self.mesh, self._style_spec(x)), state)
 
-    def _step(self, state: MultiStyleState, batch, aux):
-        def one_style_loss(texture, targets):
-            total, (losses, _) = self.base.loss_with_targets(
-                texture, targets, batch, None, aux)
-            return total, losses
+    def _local_step(self, state: MultiStyleState, targets, batch, aux):
+        """Per-chip: loop the chip's local styles, full planned pipeline
+        each; no collectives (styles are independent)."""
+        s_local = state.textures.layers[0].shape[0]
 
-        def total_loss(textures):
-            (totals, losses) = jax.vmap(
-                one_style_loss, in_axes=(0, 0))(textures, self.style_targets)
-            return jnp.sum(totals), losses
+        def loss_of(textures):
+            totals, losses = [], []
+            for s in range(s_local):
+                tex_s = Texture(layers=tuple(l[s] for l in textures.layers))
+                tgt_s = jax.tree.map(lambda x: x[s], targets)
+                total, (ls, _) = self.base.loss_with_targets(
+                    tex_s, tgt_s, batch, None, aux)
+                totals.append(total)
+                losses.append(ls)
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *losses)
+            return jnp.sum(jnp.stack(totals)), stacked
 
         (_, losses), grads = jax.value_and_grad(
-            total_loss, has_aux=True)(state.textures)
+            loss_of, has_aux=True)(state.textures)
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    state.textures)
-        textures = optax.apply_updates(state.textures, updates)
-        textures = clamp_texture(textures)
+        textures = clamp_texture(optax.apply_updates(state.textures, updates))
         return MultiStyleState(textures=textures, opt_state=opt_state,
                                step=state.step + 1), losses
 
+    def _build_step(self, state, batch, aux):
+        state_specs = jax.tree.map(self._style_spec, state)
+        target_specs = jax.tree.map(lambda _: P(self.axis_name),
+                                    self.style_targets)
+        rep = lambda t: jax.tree.map(lambda _: P(), t)
+        smapped = jax.shard_map(
+            self._local_step, mesh=self.mesh, check_vma=False,
+            in_specs=(state_specs, target_specs, rep(batch), rep(aux)),
+            out_specs=(state_specs, P(self.axis_name)))
+        self._jit_step = jax.jit(smapped, donate_argnums=(0,))
+
     def train_step(self, state, batch, aux=None):
-        """One step of all S optimizations (batch replicated, styles sharded).
-        The per-style loss dict has a leading style axis. ``aux`` is the
-        style-independent batch precompute (base.prepare_batch) — pass it
+        """One step of all S optimizations (batch replicated, styles
+        sharded). The per-style loss dict has a leading style axis. ``aux``
+        is the style-independent batch precompute (prepare_batch) — pass it
         when the batch repeats across steps."""
-        assert batch.splat_plans is None, \
-            "multi-style sweeps use the XLA scatter path (planned splats are "\
-            "not vmappable yet)"
+        rep = replicate_sharding(self.mesh)
+        batch = jax.device_put(batch, jax.tree.map(lambda _: rep, batch))
+        if aux is None:
+            aux = self.prepare_batch(batch)
         if self._jit_step is None:
-            rep = replicate_sharding(self.mesh)
-            batch = jax.device_put(batch, jax.tree.map(lambda _: rep, batch))
-            self._jit_step = jax.jit(self._step)
-        return self._jit_step(state, batch, aux)
+            self._build_step(state, batch, aux)
+        return self._jit_step(state, self.style_targets, batch, aux)

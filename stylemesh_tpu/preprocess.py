@@ -41,15 +41,20 @@ def _rasterize(mesh, cam2world, intrinsics, hw, backend="native"):
             print(f"native rasterizer unavailable ({e}); using JAX fallback")
     from stylemesh_tpu.geometry.rasterize import rasterize_mesh
 
-    uv, ang, depth, hit = rasterize_mesh(mesh.vertices, mesh.faces, mesh.uvs,
-                                         mesh.normals, cam2world, intrinsics, hw)
-    return np.asarray(uv), np.asarray(ang), np.asarray(depth), np.asarray(hit)
+    uv, ang, depth, hit, lod = rasterize_mesh(
+        mesh.vertices, mesh.faces, mesh.uvs, mesh.normals, cam2world,
+        intrinsics, hw)
+    return (np.asarray(uv), np.asarray(ang), np.asarray(depth),
+            np.asarray(hit), np.asarray(lod))
 
 
 def bake_view(mesh, cam2world, intrinsics, hw, backend="native"):
-    """One view -> (uv3 [H,W,3], angle3 [H,W,3], depth3 [H,W,3])."""
-    uv, ang, depth, _ = _rasterize(mesh, cam2world, intrinsics, hw, backend)
-    uv3 = np.concatenate([uv, np.zeros_like(uv[..., :1])], axis=-1)
+    """One view -> (uv3 [H,W,3], angle3 [H,W,3], depth3 [H,W,3]).
+
+    uv3's third channel is the real baked mip LOD (uvmap.frag writes
+    textureQueryLod there; training discards it, the mip renderer uses it)."""
+    uv, ang, depth, _, lod = _rasterize(mesh, cam2world, intrinsics, hw, backend)
+    uv3 = np.concatenate([uv, lod[..., None]], axis=-1)
     ang3 = np.repeat(ang[..., None], 3, axis=-1)
     depth3 = np.repeat(depth[..., None], 3, axis=-1)
     return uv3.astype(np.float32), ang3.astype(np.float32), depth3.astype(np.float32)
@@ -114,6 +119,115 @@ def bake_scene(mesh_path, pose_dir, intrinsics, intrinsics_size, out_dir,
         n_baked += 1
         if verbose and n_baked % 25 == 0:
             print(f"baked {n_baked}/{len(pose_files)} views")
+    return n_baked
+
+
+def bake_matterport_region(house, mesh_path, scan_out_dir, region_index,
+                           color_src=None, depth_src=None,
+                           pyramid_heights=DEFAULT_PYRAMID_HEIGHTS,
+                           backend="native", skip_existing=True,
+                           verbose=True):
+    """Bake one Matterport region into the exact tree the data layer (and
+    the reference's MatterportDataset) consumes — the TPU-era replacement of
+    ``scripts/matterport/render_uv`` (main.cpp:100-157 + mp_renderer.cpp:
+    87-180): walk the ``.house`` region's panoramas/images, export per-image
+    pose + ``.intrinsics.txt``, copy color/depth, and render uv / angle /
+    rendered_depth::
+
+        <scan>/rendered/region_<r>/pose/<img>.jpg.pose.txt            4x4
+        <scan>/rendered/region_<r>/pose/<img>.jpg.pose.txt.intrinsics.txt
+        <scan>/rendered/region_<r>/color/<img>.jpg                    copied
+        <scan>/rendered/region_<r>/depth/<img d>.png                  copied
+        <scan>/rendered/region_<r>/angle/<img>.jpg.angle.npy          [H,W,3]
+        <scan>/rendered/region_<r>/rendered_depth/<img>.jpg.rendered_depth.npy
+        <scan>/rendered/region_<r>/uv_-1_<h>/<img>.jpg.uvs.npy        per level
+
+    Args:
+        house: an ``MPHouse`` (data/matterport_house.py) or a ``.house``
+            path. Image extrinsics are taken as CAMERA-TO-WORLD with a
+            +z-forward pinhole (the convention of this repo's rasterizers
+            and of the pose files the eval chain unprojects with).
+        mesh_path: the region's UV-unwrapped mesh (``region_<r>.ply`` after
+            unwrap).
+        color_src/depth_src: directories holding the original
+            ``matterport_color_images`` / ``matterport_depth_images`` to
+            copy per region (reference copyImages, mp_renderer.cpp:150-180);
+            missing sources are skipped (the loader falls back to
+            rendered_depth).
+        pyramid_heights: UV pyramid heights; widths follow each image's
+            aspect (reference renders with w=-1, hence the ``uv_-1_<h>``
+            folder names).
+    Returns:
+        number of baked images.
+    """
+    import shutil
+
+    from stylemesh_tpu.data.matterport_house import parse_house
+
+    if isinstance(house, (str, os.PathLike)):
+        house = parse_house(house)
+    mesh = load_mesh(mesh_path)
+    assert mesh.uvs is not None, f"mesh {mesh_path} has no UVs (run unwrap first)"
+
+    region_dir = join(scan_out_dir, "rendered", f"region_{region_index}")
+    dirs = {k: join(region_dir, k)
+            for k in ("pose", "color", "depth", "angle", "rendered_depth")}
+    for h in pyramid_heights:
+        dirs[f"uv_{h}"] = join(region_dir, f"uv_-1_{h}")
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    images = house.region_images(region_index)
+    n_baked = 0
+    for img in images:
+        cname = img.color_filename
+        # pose (+ original intrinsics, reference saves them per image)
+        pose_path = join(dirs["pose"], f"{cname}.pose.txt")
+        if not (skip_existing and exists(pose_path)):
+            with open(pose_path, "w") as f:
+                for row in np.asarray(img.extrinsics, np.float64):
+                    f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+            with open(pose_path + ".intrinsics.txt", "w") as f:
+                for row in np.asarray(img.intrinsics, np.float64):
+                    f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+                f.write(f"{img.width} {img.height}\n")
+
+        # copy originals when available
+        for src_root, fname, key in ((color_src, cname, "color"),
+                                     (depth_src, img.depth_filename, "depth")):
+            if src_root:
+                src = join(src_root, fname)
+                dst = join(dirs[key], fname)
+                if exists(src) and not exists(dst):
+                    shutil.copyfile(src, dst)
+
+        cam2world = np.asarray(img.extrinsics, np.float64)
+        if not np.all(np.isfinite(cam2world)):
+            continue
+        aspect = img.width / img.height
+
+        # base resolution: angle + rendered_depth (the loss/mask inputs)
+        ang_path = join(dirs["angle"], f"{cname}.angle.npy")
+        dep_path = join(dirs["rendered_depth"], f"{cname}.rendered_depth.npy")
+        if not (skip_existing and exists(ang_path) and exists(dep_path)):
+            _, ang3, depth3 = bake_view(mesh, cam2world, img.intrinsics,
+                                        (img.height, img.width), backend)
+            np.save(ang_path, ang3)
+            np.save(dep_path, depth3)
+
+        # uv pyramid (per-image K rescaled per level, mp_renderer.cpp:99-110)
+        for h in pyramid_heights:
+            uv_path = join(dirs[f"uv_{h}"], f"{cname}.uvs.npy")
+            if skip_existing and exists(uv_path):
+                continue
+            hw = (h, int(h * aspect))
+            k = rescale_intrinsics(img.intrinsics, (img.width, img.height),
+                                   (hw[1], hw[0]))
+            uv3, _, _ = bake_view(mesh, cam2world, k, hw, backend)
+            np.save(uv_path, uv3)
+        n_baked += 1
+        if verbose and n_baked % 10 == 0:
+            print(f"baked {n_baked}/{len(images)} region images")
     return n_baked
 
 

@@ -110,3 +110,46 @@ def test_texture_npz_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     img_path = save_texture_image(tex, str(tmp_path))
     assert os.path.getsize(img_path) > 0
+
+
+def test_standalone_eval_cli(tmp_path):
+    """python -m stylemesh_tpu.eval over loose folders (the reference's
+    eval_image_folders.py surface): MSE + LPIPS keys, JSON written."""
+    from PIL import Image as PILImage
+
+    from stylemesh_tpu.eval.__main__ import main as eval_main
+
+    h, w = 24, 32
+    for sub in ("rgb", "styled", "pose", "depth"):
+        (tmp_path / sub).mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(4):
+        PILImage.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                           ).save(tmp_path / "rgb" / f"{i}.jpg")
+        PILImage.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                           ).save(tmp_path / "styled" / f"{i}.png")
+        depth = rng.integers(800, 3000, (h, w), dtype=np.uint16)
+        PILImage.fromarray(depth.astype(np.int32), mode="I").save(
+            tmp_path / "depth" / f"{i}.png")
+        pose = np.eye(4)
+        pose[0, 3] = 0.02 * i
+        with open(tmp_path / "pose" / f"{i}.txt", "w") as f:
+            for row in pose:
+                f.write(" ".join(str(v) for v in row) + "\n")
+    with open(tmp_path / "intr.txt", "w") as f:
+        f.write(f"fx_color = 30.0\nfy_color = 30.0\nmx_color = {w/2}\n"
+                f"my_color = {h/2}\ncolorWidth = {w}\ncolorHeight = {h}\n")
+
+    results = eval_main([
+        "--rgb", str(tmp_path / "rgb"), "--styled", str(tmp_path / "styled"),
+        "--pose", str(tmp_path / "pose"), "--depth", str(tmp_path / "depth"),
+        "--intrinsics", str(tmp_path / "intr.txt"),
+        "--image_size", "16", "--pair_threshold", "2",
+        "--out_dir", str(tmp_path / "out")])
+    acc = results["accuracies"]
+    for k in ("reprojection", "reprojection_short", "reprojection_long",
+              "reprojection_lpips", "reprojection_short_lpips",
+              "reprojection_long_lpips"):
+        assert k in acc and np.isfinite(acc[k]), k
+    assert results["lpips_calibrated"] is False
+    assert any(f.endswith("_output.json") for f in os.listdir(tmp_path / "out"))

@@ -30,7 +30,7 @@ def test_rasterize_frontal_quad():
     verts, faces, uvs, normals = _quad_scene(z=2.0, half=1.5)
     h, w = 32, 32
     k = np.array([[20.0, 0, 16.0], [0, 20.0, 16.0], [0, 0, 1]], np.float32)
-    uv, ang, depth, hit = rasterize_mesh(
+    uv, ang, depth, hit, _ = rasterize_mesh(
         verts, faces, uvs, normals, np.eye(4, dtype=np.float32), k, (h, w))
     uv, ang, depth, hit = map(np.asarray, (uv, ang, depth, hit))
 
@@ -59,7 +59,7 @@ def test_rasterize_occlusion():
     uvs = np.concatenate([u1, u2 * 0.0 + 0.75])  # far quad has constant uv .75
     normals = np.concatenate([n1, n2])
     k = np.array([[20.0, 0, 16.0], [0, 20.0, 16.0], [0, 0, 1]], np.float32)
-    uv, ang, depth, hit = rasterize_mesh(
+    uv, ang, depth, hit, _ = rasterize_mesh(
         verts, faces, uvs, normals, np.eye(4, dtype=np.float32), k, (32, 32))
     depth = np.asarray(depth)
     # near quad (half 0.5 @ z=2) spans ~5px around center; far quad
@@ -74,7 +74,7 @@ def test_rasterize_translated_camera():
     cam = np.eye(4, dtype=np.float32)
     cam[0, 3] = 0.5  # camera shifted +x -> quad appears shifted -x
     k = np.array([[20.0, 0, 16.0], [0, 20.0, 16.0], [0, 0, 1]], np.float32)
-    uv, ang, depth, hit = rasterize_mesh(verts, faces, uvs, normals, cam, k, (32, 32))
+    uv, ang, depth, hit, _ = rasterize_mesh(verts, faces, uvs, normals, cam, k, (32, 32))
     # center pixel ray hits world point (0.5+eps, eps, 3) -> u=(0.5..+2)/4
     x_world = 0.5 + 0.5 / 20.0 * 3.0
     np.testing.assert_allclose(np.asarray(uv)[16, 16, 0], (x_world + 2.0) / 4.0,

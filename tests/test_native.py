@@ -36,9 +36,10 @@ def _scene():
 def test_native_matches_jax_rasterizer():
     verts, faces, uvs, normals, cam, k = _scene()
     hw = (48, 64)
-    uv_j, ang_j, d_j, hit_j = [np.asarray(x) for x in
-                               rasterize_mesh(verts, faces, uvs, normals, cam, k, hw)]
-    uv_n, ang_n, d_n, hit_n = native.rasterize_mesh_native(
+    uv_j, ang_j, d_j, hit_j, lod_j = [
+        np.asarray(x) for x in
+        rasterize_mesh(verts, faces, uvs, normals, cam, k, hw)]
+    uv_n, ang_n, d_n, hit_n, lod_n = native.rasterize_mesh_native(
         verts, faces, uvs, normals, cam, k, hw)
 
     agree = hit_j == hit_n
@@ -49,6 +50,51 @@ def test_native_matches_jax_rasterizer():
     np.testing.assert_allclose(d_n[both], d_j[both], rtol=1e-4)
     np.testing.assert_allclose(uv_n[both], uv_j[both], atol=1e-4)
     np.testing.assert_allclose(ang_n[both], ang_j[both], atol=1e-3)
+    np.testing.assert_allclose(lod_n[both], lod_j[both], atol=1e-3)
+
+
+def test_lod_monotone_with_distance():
+    """The baked mip LOD (uv channel 3) must grow as the surface recedes:
+    more texels per pixel -> coarser mip (textureQueryLod semantics)."""
+    # one quad, uv-mapped 1:1, rendered from two distances
+    verts = np.asarray([(-2, -2, 0), (2, -2, 0), (2, 2, 0), (-2, 2, 0)],
+                       np.float32)
+    faces = np.asarray([(0, 1, 2), (0, 2, 3)], np.int32)
+    uvs = np.asarray([(0, 0), (1, 0), (1, 1), (0, 1)], np.float32)
+    normals = np.tile(np.asarray([0, 0, -1], np.float32), (4, 1))
+    k = np.array([[40.0, 0, 32.0], [0, 40.0, 24.0], [0, 0, 1]], np.float32)
+
+    def lod_at(dist, backend):
+        cam = np.eye(4, dtype=np.float32)
+        cam[2, 3] = -dist  # camera at z=-dist looking +z at the quad
+        if backend == "native":
+            _, _, _, hit, lod = native.rasterize_mesh_native(
+                verts, faces, uvs, normals, cam, k, (48, 64))
+        else:
+            out = rasterize_mesh(verts, faces, uvs, normals, cam, k, (48, 64))
+            _, _, _, hit, lod = [np.asarray(x) for x in out]
+        assert hit.sum() > 100
+        return float(np.median(np.asarray(lod)[np.asarray(hit)]))
+
+    for backend in ("native", "jax"):
+        near, mid, far = (lod_at(d, backend) for d in (2.0, 4.0, 8.0))
+        assert near < mid < far, (backend, near, mid, far)
+        # doubling distance doubles texels/pixel -> +1 mip level
+        np.testing.assert_allclose(mid - near, 1.0, atol=0.1)
+        np.testing.assert_allclose(far - mid, 1.0, atol=0.1)
+
+
+def test_bake_view_lod_channel():
+    """bake_view writes the LOD into uv channel 3 (not a zero placeholder)."""
+    from stylemesh_tpu.geometry.mesh_io import Mesh
+    from stylemesh_tpu.preprocess import bake_view
+
+    verts, faces, uvs, normals, cam, k = _scene()
+    mesh = Mesh(vertices=verts, faces=faces, uvs=uvs, normals=normals)
+    uv3, _, _ = bake_view(mesh, cam, k, (48, 64))
+    hit = uv3[..., :2].sum(-1) > 0
+    assert (uv3[..., 2][hit] > 0).any()
+    assert uv3[..., 2].max() <= 10.0
 
 
 def test_native_textured_render():

@@ -68,6 +68,95 @@ def test_load_obj_quad(tmp_path):
     np.testing.assert_allclose(mesh.uvs[2], [1, 1], atol=1e-6)
 
 
+def test_bake_matterport_region_and_train(tmp_path):
+    """bake_matterport_region writes the reference's region tree from a
+    .house enumeration; discover_matterport_region consumes it and a train
+    step runs — the Matterport preprocessing closed loop."""
+    import jax.numpy as jnp
+
+    from stylemesh_tpu.data.loading import SceneCache
+    from stylemesh_tpu.data.matterport_house import (
+        MPHouse,
+        MPImage,
+        MPPanorama,
+        MPRegion,
+    )
+    from stylemesh_tpu.data.scenes import discover_matterport_regions
+    from stylemesh_tpu.models.pipeline import PipelineConfig, TexturePipeline
+    from stylemesh_tpu.models.vgg import init_vgg_params
+    from stylemesh_tpu.preprocess import bake_matterport_region
+
+    h, w = 24, 32
+    k = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]], np.float64)
+    rng = np.random.default_rng(3)
+
+    images, panos = [], []
+    color_src = tmp_path / "matterport_color_images"
+    color_src.mkdir()
+    for p in range(2):
+        pano = MPPanorama(name=f"cam{p:02d}", region_index=0, images=[])
+        for yaw in range(2 if p == 0 else 1):
+            pose = np.eye(4)
+            pose[0, 3] = 0.1 * (p + yaw)  # slight lateral shifts
+            img = MPImage(name=f"cam{p:02d}", camera_index=0, yaw_index=yaw,
+                          extrinsics=pose, intrinsics=k, width=w, height=h,
+                          position=pose[:3, 3], panorama_index=p)
+            pano.images.append(img)
+            images.append(img)
+            Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                            ).save(color_src / img.color_filename)
+        panos.append(pano)
+    region = MPRegion(label="office", level_index=0, panoramas=panos)
+    house = MPHouse(name="17TEST", label=None, regions=[region],
+                    panoramas=panos, images=images)
+
+    mesh_path = tmp_path / "region0_uvs_blender.ply"
+    _write_ascii_ply_with_face_uvs(str(mesh_path))
+
+    scan = tmp_path / "root" / "17TEST"
+    n = bake_matterport_region(house, str(mesh_path), str(scan), 0,
+                               color_src=str(color_src),
+                               pyramid_heights=(16, 24), verbose=False)
+    assert n == 3
+
+    region_dir = scan / "rendered" / "region_0"
+    assert (region_dir / "color" / "cam00_i0_0.jpg").exists()
+    assert (region_dir / "pose" / "cam00_i0_0.jpg.pose.txt").exists()
+    assert (region_dir / "pose" / "cam00_i0_0.jpg.pose.txt.intrinsics.txt").exists()
+    assert (region_dir / "angle" / "cam00_i0_0.jpg.angle.npy").exists()
+    assert (region_dir / "rendered_depth" /
+            "cam00_i0_0.jpg.rendered_depth.npy").exists()
+    uv = np.load(region_dir / "uv_-1_24" / "cam01_i0_0.jpg.uvs.npy")
+    assert uv.shape == (24, 32, 3)
+    assert uv[..., :2].max() <= 1.0 and uv[..., :2].min() >= 0.0
+
+    # idempotent re-run
+    assert bake_matterport_region(house, str(mesh_path), str(scan), 0,
+                                  pyramid_heights=(16, 24), verbose=False) == 3
+
+    scenes = discover_matterport_regions(str(tmp_path / "root"),
+                                         region_index=0,
+                                         min_pyramid_height=16)
+    assert "17TEST" in scenes
+    spec = scenes["17TEST"]
+    assert spec.num_frames == 3
+    assert spec.rendered_depth and spec.dataset == "matterport"
+
+    cache = SceneCache(spec, resize_size=16)
+    batch = cache.get_batch([0, 1])
+    assert float(batch.mask.sum()) > 0
+
+    cfg = PipelineConfig(texture_width=32, texture_height=32,
+                         hierarchical_layers=1, use_angle_weight=True,
+                         use_depth_scaling=False, content_weight=7e1,
+                         style_weight=1e-4, style_min_size=16,
+                         learning_rate=0.5)
+    style = jnp.asarray((rng.random((1, 48, 64, 3), dtype=np.float32) - 0.45) * 255)
+    pipe = TexturePipeline(cfg, init_vgg_params(rng=1), style)
+    state, losses = pipe.train_step(pipe.init(), batch)
+    assert np.isfinite(float(losses["total"]))
+
+
 def test_bake_scene_and_train(tmp_path):
     """bake_scene writes the reference on-disk contract; the data layer
     consumes it and a train step runs — preprocessing closed-loop."""
