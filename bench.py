@@ -79,8 +79,10 @@ def _run_bench(batch_views):
         learning_rate=1.0, decay_step_size=3,
         compute_dtype=jnp.bfloat16,
         precision=jax.lax.Precision.DEFAULT,
-        kernel_compute="bf16" if os.environ.get("BENCH_KERNEL_BF16") == "1"
-        else "f32",
+        # bf16 kernel compute tracks f32 to 5e-5 relative loss over 40 steps
+        # (tools/bf16_quality_check.py) and is ~22% faster end to end
+        kernel_compute="f32" if os.environ.get("BENCH_KERNEL_BF16") == "0"
+        else "bf16",
         # V<=2 fits HBM without remat; larger batches re-enable it (V=4
         # without remat exceeds HBM by ~0.6GB: the pyramid VGG activations)
         remat_vgg=(batch_views > 2

@@ -93,13 +93,12 @@ struct Framebuffer {
   }
 };
 
-// Rasterize one triangle with perspective-correct interpolation.
+// Rasterize one fully-in-front triangle with perspective-correct
+// interpolation (callers clip against the near plane first).
 void raster_face(Framebuffer& fb, const Camera& cam, int face_id,
                  const V3 pc[3], const float uvc[3][2], const V3 nc[3],
                  float tex_w, float tex_h) {
   const float eps = 1e-9f;
-  // all three vertices must be in front (matches the JAX rasterizer's cull;
-  // near-plane clipping is unnecessary for the indoor-scan capture setups)
   if (pc[0].z <= eps || pc[1].z <= eps || pc[2].z <= eps) return;
 
   float sx[3], sy[3];
@@ -181,6 +180,55 @@ void raster_face(Framebuffer& fb, const Camera& cam, int face_id,
   }
 }
 
+// Sutherland-Hodgman clip of one triangle against the near plane z = znear
+// (the GL renderer clips in hardware; indoor meshes have wall triangles that
+// span the camera plane, which a vertex-cull would drop entirely). The
+// clipped polygon (up to 4 vertices) is fan-triangulated into raster_face.
+struct ClipVert {
+  V3 p;
+  float u, v;
+  V3 n;
+};
+
+static inline ClipVert lerp_cv(const ClipVert& a, const ClipVert& b, float t) {
+  ClipVert o;
+  o.p = {a.p.x + (b.p.x - a.p.x) * t, a.p.y + (b.p.y - a.p.y) * t,
+         a.p.z + (b.p.z - a.p.z) * t};
+  o.u = a.u + (b.u - a.u) * t;
+  o.v = a.v + (b.v - a.v) * t;
+  o.n = {a.n.x + (b.n.x - a.n.x) * t, a.n.y + (b.n.y - a.n.y) * t,
+         a.n.z + (b.n.z - a.n.z) * t};
+  return o;
+}
+
+void clip_and_raster(Framebuffer& fb, const Camera& cam, int face_id,
+                     const V3 pc[3], const float uvc[3][2], const V3 nc[3],
+                     float tex_w, float tex_h, float znear = 0.01f) {
+  ClipVert in[3] = {{pc[0], uvc[0][0], uvc[0][1], nc[0]},
+                    {pc[1], uvc[1][0], uvc[1][1], nc[1]},
+                    {pc[2], uvc[2][0], uvc[2][1], nc[2]}};
+  ClipVert out[4];
+  int n_out = 0;
+  for (int i = 0; i < 3; i++) {
+    const ClipVert& a = in[i];
+    const ClipVert& b = in[(i + 1) % 3];
+    bool a_in = a.p.z >= znear, b_in = b.p.z >= znear;
+    if (a_in) out[n_out++] = a;
+    if (a_in != b_in) {
+      float t = (znear - a.p.z) / (b.p.z - a.p.z);
+      out[n_out++] = lerp_cv(a, b, t);
+    }
+  }
+  for (int k = 2; k < n_out; k++) {
+    V3 tp[3] = {out[0].p, out[k - 1].p, out[k].p};
+    float tuv[3][2] = {{out[0].u, out[0].v},
+                       {out[k - 1].u, out[k - 1].v},
+                       {out[k].u, out[k].v}};
+    V3 tn[3] = {out[0].n, out[k - 1].n, out[k].n};
+    raster_face(fb, cam, face_id, tp, tuv, tn, tex_w, tex_h);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -218,7 +266,7 @@ int64_t sm_rasterize(const float* vertices, int64_t n_verts,
       const float* n = normals + (size_t)idx[k] * 3;
       nc[k] = cam.rot(n);
     }
-    raster_face(fb, cam, (int)f, pc, uvc, nc, 1024.f, 1024.f);
+    clip_and_raster(fb, cam, (int)f, pc, uvc, nc, 1024.f, 1024.f);
   }
 
   int64_t covered = 0;
@@ -267,7 +315,7 @@ int64_t sm_render_textured(const float* vertices, int64_t n_verts,
       const float* n = normals + (size_t)idx[k] * 3;
       nc[k] = cam.rot(n);
     }
-    raster_face(fb, cam, (int)f, pc, uvc, nc, (float)tex_w, (float)tex_h);
+    clip_and_raster(fb, cam, (int)f, pc, uvc, nc, (float)tex_w, (float)tex_h);
   }
 
   // build mip chain (box filter)

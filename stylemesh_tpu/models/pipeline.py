@@ -288,18 +288,8 @@ class TexturePipeline:
             aux = self._prepare_batch(batch)
 
         # 1. render: sample the atlas at every UV pyramid level (with the
-        # Pallas window kernels where the batch carries plans). The
-        # channel-first copy is hoisted so its transposes are paid once per
-        # step, not once per (level, layer).
-        if batch.splat_plans is not None and cfg.use_splat_kernel:
-            tex_cf = texture_channel_first(texture)
-            pred_pyramid = [
-                sample_texture(texture, uv, plans=plans, texture_cf=tex_cf,
-                               compute=cfg.kernel_compute)
-                for uv, plans in zip(batch.uv, batch.splat_plans)
-            ]
-        else:
-            pred_pyramid = [sample_texture(texture, uv) for uv in batch.uv]
+        # Pallas window kernels where the batch carries plans)
+        pred_pyramid = self._render_pyramid(texture, batch)
         # 2. gradient weighting (forward-mode equivalent of the hooks):
         # the combined per-level weight (angle x depth interpolation) is a
         # batch constant precomputed by prepare_batch
@@ -315,7 +305,7 @@ class TexturePipeline:
 
         # 4. texture regularizer (model.py:163-171)
         if cfg.tex_reg_weight > 0:
-            tex_reg = texture_regularizer(texture, self.resolved_reg_weights)
+            tex_reg = self._tex_reg(texture)
         else:
             tex_reg = jnp.zeros((), dtype=jnp.float32)
 
@@ -331,6 +321,25 @@ class TexturePipeline:
     @property
     def resolved_reg_weights(self):
         return self.config.resolved_tex_reg_weights()
+
+    # --------------------------------------------------- overridable pieces
+
+    def _render_pyramid(self, texture: Texture, batch: ViewBatch):
+        """Sample the atlas at every pyramid level. The channel-first copy is
+        hoisted so its transposes are paid once per step, not once per
+        (level, layer). Overridden by the atlas-sharded pipeline."""
+        cfg = self.config
+        if batch.splat_plans is not None and cfg.use_splat_kernel:
+            tex_cf = texture_channel_first(texture)
+            return [
+                sample_texture(texture, uv, plans=plans, texture_cf=tex_cf,
+                               compute=cfg.kernel_compute)
+                for uv, plans in zip(batch.uv, batch.splat_plans)
+            ]
+        return [sample_texture(texture, uv) for uv in batch.uv]
+
+    def _tex_reg(self, texture: Texture):
+        return texture_regularizer(texture, self.resolved_reg_weights)
 
     # ------------------------------------------------------------- steps
 

@@ -167,6 +167,60 @@ def grid_sample_planned(texture, grid, plan, compute="f32"):
                                   compute)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def grid_sample_banded_cf(texture_band, grid, plan_band, axis_name,
+                          compute="f32"):
+    """Atlas-sharded bilinear sample, called INSIDE a shard_map over
+    ``axis_name``: each chip holds one row band ``[3, H/D, W]`` of the atlas
+    and the band's slice of a :func:`..splat_plan.plan_arrays_banded` plan.
+    The chip gathers only the tiles whose windows live in its band, partial
+    per-pixel results are psum'd over ICI, and the analytic background texel
+    (owned by band 0) is broadcast once. The backward splats the (replicated)
+    cotangent into the local band only — texture gradients never cross chips.
+    """
+    from stylemesh_tpu.ops.splat_pallas import gather_with_residual
+
+    interpret = jax.default_backend() == "cpu"
+    row0 = jax.lax.axis_index(axis_name).astype(jnp.int32) * texture_band.shape[1]
+    out = gather_with_residual(texture_band, grid, plan_band,
+                               compute=compute, interpret=interpret,
+                               include_background=False, row0=row0)
+    out = jax.lax.psum(out, axis_name)
+    is0 = (jax.lax.axis_index(axis_name) == 0).astype(texture_band.dtype)
+    tex00 = jax.lax.psum(texture_band[:, 0, 0] * is0, axis_name)
+    bg = jnp.logical_and(grid[..., 0] == -1.0, grid[..., 1] == -1.0)[..., None]
+    return jnp.where(bg, tex00[None, None, None, :], out)
+
+
+def _grid_sample_banded_fwd(texture_band, grid, plan_band, axis_name,
+                            compute):
+    out = grid_sample_banded_cf(texture_band, grid, plan_band, axis_name,
+                                compute)
+    return out, (grid, plan_band, texture_band.shape)
+
+
+def _grid_sample_banded_bwd(axis_name, compute, res, g):
+    from stylemesh_tpu.ops.splat_pallas import splat_with_residual
+
+    grid, plan_band, (_, band_h, w) = res
+    interpret = jax.default_backend() == "cpu"
+    row0 = jax.lax.axis_index(axis_name).astype(jnp.int32) * band_h
+    # the loss (hence g) is replicated across the atlas axis; each chip
+    # accumulates only its band's windows + residuals
+    dtex = splat_with_residual(g, grid, plan_band, band_h, w,
+                               compute=compute, interpret=interpret,
+                               include_background=False, row0=row0)
+    bg = jnp.logical_and(grid[..., 0] == -1.0, grid[..., 1] == -1.0)[..., None]
+    bg_sum = jnp.sum(g * bg.astype(g.dtype), axis=(0, 1, 2))
+    is0 = (jax.lax.axis_index(axis_name) == 0).astype(dtex.dtype)
+    dtex = dtex.at[:, 0, 0].add(bg_sum * is0)
+    return dtex, jnp.zeros_like(grid), _plan_zero_cotangents(plan_band)
+
+
+grid_sample_banded_cf.defvjp(_grid_sample_banded_fwd,
+                             _grid_sample_banded_bwd)
+
+
 def grid_sample_nearest(texture, grid):
     """Nearest-neighbor sample, border padding, align_corners=True.
 

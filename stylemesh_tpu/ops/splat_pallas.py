@@ -101,13 +101,16 @@ def _cast(x, compute):
 
 def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
                   ids_ref, oy_ref, ox_ref, load_ref, store_ref, alive_ref,
-                  oy2_ref, ox2_ref, has2_ref,
+                  oy2_ref, ox2_ref, has2_ref, row0_ref,
                   uv_ref, g_ref, atlas_in_ref, atlas_ref,
                   region, sem_in, sem_out):
     del ids_ref, atlas_in_ref  # ids consumed by index_maps; atlas aliased
     i = pl.program_id(0)
     alive = alive_ref[i] != 0
-    oy = pl.multiple_of(oy_ref[i], 8)
+    # window origins are GLOBAL atlas rows (the uv->texel one-hots need
+    # them); the DMA subtracts the chip's band offset (0 when unbanded)
+    oy = oy_ref[i]
+    oy_dma = pl.multiple_of(oy - row0_ref[0], 8)
     ox = pl.multiple_of(ox_ref[i], 128)
     do_load = jnp.logical_and(alive, load_ref[i] != 0)
 
@@ -119,7 +122,7 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
 
     @pl.when(do_load)
     def _():
-        window_copy(oy, ox, sem=sem_in).start()
+        window_copy(oy_dma, ox, sem=sem_in).start()
 
     uv = uv_ref[0]  # [2, tile_px]
     g = g_ref[0]  # [3, tile_px]
@@ -133,7 +136,7 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
 
     @pl.when(do_load)
     def _():
-        window_copy(oy, ox, sem=sem_in).wait()
+        window_copy(oy_dma, ox, sem=sem_in).wait()
 
     @pl.when(alive)
     def _():
@@ -146,7 +149,7 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
 
     @pl.when(jnp.logical_and(alive, store_ref[i] != 0))
     def _():
-        cp = window_copy(oy, ox, src_region=True, sem=sem_out)
+        cp = window_copy(oy_dma, ox, src_region=True, sem=sem_out)
         cp.start()
         cp.wait()
 
@@ -155,9 +158,10 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
     # reusing `region` (read-modify-write) is safe even when windows overlap.
     @pl.when(jnp.logical_and(alive, has2_ref[i] != 0))
     def _():
-        oy2 = pl.multiple_of(oy2_ref[i], 8)
+        oy2 = oy2_ref[i]
+        oy2_dma = pl.multiple_of(oy2 - row0_ref[0], 8)
         ox2 = pl.multiple_of(ox2_ref[i], 128)
-        load2 = window_copy(oy2, ox2, sem=sem_in)
+        load2 = window_copy(oy2_dma, ox2, sem=sem_in)
         load2.start()
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (region_h, tile_px), 0)
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (region_w, tile_px), 0)
@@ -174,7 +178,7 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
                 m = jax.lax.dot_general(
                     a, oh_c, dimension_numbers=(((1,), (1,)), ((), ())), **kw)
                 region[ch, :, :] = region[ch, :, :] + m
-        store2 = window_copy(oy2, ox2, src_region=True, sem=sem_out)
+        store2 = window_copy(oy2_dma, ox2, src_region=True, sem=sem_out)
         store2.start()
         store2.wait()
 
@@ -184,15 +188,18 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
 
 def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
                    ids_ref, oy_ref, ox_ref, load_ref, alive_ref,
-                   oy2_ref, ox2_ref, has2_ref,
+                   oy2_ref, ox2_ref, has2_ref, row0_ref,
                    uv_ref, atlas_ref, out_ref,
                    region, region2, sem1, sem2):
     del ids_ref
     i = pl.program_id(0)
     alive = alive_ref[i] != 0
-    oy = pl.multiple_of(oy_ref[i], 8)
+    # global window rows for the uv->texel math; band-local rows for the DMA
+    oy = oy_ref[i]
+    oy2 = oy2_ref[i]
+    oy_dma = pl.multiple_of(oy - row0_ref[0], 8)
+    oy2_dma = pl.multiple_of(oy2 - row0_ref[0], 8)
     ox = pl.multiple_of(ox_ref[i], 128)
-    oy2 = pl.multiple_of(oy2_ref[i], 8)
     ox2 = pl.multiple_of(ox2_ref[i], 128)
     do_load = jnp.logical_and(alive, load_ref[i] != 0)
     has2 = jnp.logical_and(alive, has2_ref[i] != 0)
@@ -200,7 +207,7 @@ def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
     @pl.when(do_load)
     def _():
         pltpu.make_async_copy(
-            atlas_ref.at[:, pl.ds(oy, region_h), pl.ds(ox, region_w)],
+            atlas_ref.at[:, pl.ds(oy_dma, region_h), pl.ds(ox, region_w)],
             region, sem1).start()
 
     @pl.when(has2)
@@ -208,7 +215,7 @@ def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
         # seam windows are read-only: prefetch into the second scratch so
         # window runs are not broken
         pltpu.make_async_copy(
-            atlas_ref.at[:, pl.ds(oy2, region_h), pl.ds(ox2, region_w)],
+            atlas_ref.at[:, pl.ds(oy2_dma, region_h), pl.ds(ox2, region_w)],
             region2, sem2).start()
 
     @pl.when(jnp.logical_not(alive))
@@ -225,7 +232,7 @@ def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
     @pl.when(do_load)
     def _():
         pltpu.make_async_copy(
-            atlas_ref.at[:, pl.ds(oy, region_h), pl.ds(ox, region_w)],
+            atlas_ref.at[:, pl.ds(oy_dma, region_h), pl.ds(ox, region_w)],
             region, sem1).wait()
 
     @pl.when(alive)
@@ -241,7 +248,7 @@ def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
     @pl.when(has2)
     def _():
         pltpu.make_async_copy(
-            atlas_ref.at[:, pl.ds(oy2, region_h), pl.ds(ox2, region_w)],
+            atlas_ref.at[:, pl.ds(oy2_dma, region_h), pl.ds(ox2, region_w)],
             region2, sem2).wait()
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (region_h, tile_px), 0)
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (region_w, tile_px), 0)
@@ -291,7 +298,7 @@ def _flat_schedule(plan: PlanArrays, keys, tiles_per_view):
 
 
 def splat_pallas(g, uv, plan: PlanArrays, tex_h, tex_w, compute="f32",
-                 interpret=False):
+                 interpret=False, row0=None):
     """Scatter-add 4-corner weighted pixel grads into a zeroed atlas.
 
     Args:
@@ -309,6 +316,7 @@ def splat_pallas(g, uv, plan: PlanArrays, tex_h, tex_w, compute="f32",
     assert tex_h % 8 == 0 and tex_w % 128 == 0, (tex_h, tex_w)
     th, tw, tile_px = plan.tile_h, plan.tile_w, plan.tile_px
     region_h, region_w = plan.region_h, plan.region_w
+    tex_h_map = plan.tex_h_global or tex_h  # uv->texel math vs local band
     g_tiles = _tile_batch_cfirst(g.astype(jnp.float32), 0.0, th, tw)
     uv_tiles = _tile_batch_cfirst(uv.astype(jnp.float32), -10.0, th, tw)
     nv, t_view = plan.g_ids.shape
@@ -317,11 +325,14 @@ def splat_pallas(g, uv, plan: PlanArrays, tex_h, tex_w, compute="f32",
     sched = _flat_schedule(
         plan, ("s_ids", "s_oy", "s_ox", "s_load", "s_store", "s_alive",
                "s_oy2", "s_ox2", "s_has2"), t_view)
+    if row0 is None:
+        row0 = jnp.zeros((), jnp.int32)
+    sched.append(jnp.reshape(row0, (1,)).astype(jnp.int32))
     n_grid = sched[0].shape[0]
     atlas_zero = jnp.zeros((3, tex_h, tex_w), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=10,
         grid=(n_grid,),
         in_specs=[
             pl.BlockSpec((1, 2, tile_px), lambda i, ids, *_: (ids[i], 0, 0)),
@@ -335,13 +346,13 @@ def splat_pallas(g, uv, plan: PlanArrays, tex_h, tex_w, compute="f32",
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_splat_kernel, tex_h, tex_w, region_h,
+    kernel = functools.partial(_splat_kernel, tex_h_map, tex_w, region_h,
                                region_w, tile_px, compute)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, tex_h, tex_w), jnp.float32),
-        input_output_aliases={11: 0},  # atlas input (after 9 prefetch + 2)
+        input_output_aliases={12: 0},  # atlas input (after 10 prefetch + 2)
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # the seam-window corner loop peaks ~28MB of scoped VMEM
@@ -353,7 +364,7 @@ def splat_pallas(g, uv, plan: PlanArrays, tex_h, tex_w, compute="f32",
 
 
 def gather_pallas(texture_cfirst, uv, plan: PlanArrays, out_hw, compute="f32",
-                  interpret=False):
+                  interpret=False, row0=None):
     """Windowed bilinear gather (forward twin of the splat; same plans).
 
     Args:
@@ -367,6 +378,7 @@ def gather_pallas(texture_cfirst, uv, plan: PlanArrays, out_hw, compute="f32",
     _, tex_h, tex_w = texture_cfirst.shape
     th, tw, tile_px = plan.tile_h, plan.tile_w, plan.tile_px
     region_h, region_w = plan.region_h, plan.region_w
+    tex_h_map = plan.tex_h_global or tex_h
     uv_tiles = _tile_batch_cfirst(uv.astype(jnp.float32), -10.0, th, tw)
     nv, t_view = plan.g_ids.shape
     assert uv_tiles.shape[0] == nv * t_view
@@ -374,10 +386,13 @@ def gather_pallas(texture_cfirst, uv, plan: PlanArrays, out_hw, compute="f32",
     sched = _flat_schedule(
         plan, ("g_ids", "g_oy", "g_ox", "g_load", "g_alive", "g_oy2",
                "g_ox2", "g_has2"), t_view)
+    if row0 is None:
+        row0 = jnp.zeros((), jnp.int32)
+    sched.append(jnp.reshape(row0, (1,)).astype(jnp.int32))
     n_grid = sched[0].shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=9,
         grid=(n_grid,),
         in_specs=[
             pl.BlockSpec((1, 2, tile_px), lambda i, ids, *_: (ids[i], 0, 0)),
@@ -392,7 +407,7 @@ def gather_pallas(texture_cfirst, uv, plan: PlanArrays, out_hw, compute="f32",
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_gather_kernel, tex_h, tex_w, region_h,
+    kernel = functools.partial(_gather_kernel, tex_h_map, tex_w, region_h,
                                region_w, tile_px, compute)
     out_tiles = pl.pallas_call(
         kernel,
@@ -413,16 +428,19 @@ def gather_pallas(texture_cfirst, uv, plan: PlanArrays, out_hw, compute="f32",
 
 
 def gather_with_residual(texture_cf, uv, plan, compute="f32",
-                         interpret=False):
+                         interpret=False, include_background=True,
+                         row0=None):
     """Full planned forward: windowed gather + residual corners + analytic
     background. Identical values to the plain XLA gather.
 
     ``texture_cf`` is channel-first ``[3, H, W]`` (the pipeline keeps one
     channel-first copy per step — Mosaic cannot DMA 3-wide minor dims).
+    ``include_background=False`` skips the texel-(0,0) overlay (atlas-sharded
+    callers apply it once after the cross-band psum).
     """
     v, h, w = uv.shape[:3]
     out = gather_pallas(texture_cf, uv, plan, (h, w), compute=compute,
-                        interpret=interpret)
+                        interpret=interpret, row0=row0)
     vals = jnp.take(texture_cf.reshape(3, -1), plan.res_texel.reshape(-1),
                     axis=1).T  # [V*cap, 3]
     vals = vals * plan.res_weight.reshape(-1, 1)
@@ -431,18 +449,20 @@ def gather_with_residual(texture_cf, uv, plan, compute="f32",
     flat_idx = view_ids * (h * w) + plan.res_pixel.reshape(-1)
     out_flat = out.reshape(v * h * w, 3).at[flat_idx].add(vals)
     out = out_flat.reshape(v, h, w, 3)
+    if not include_background:
+        return out
     # analytic background: grid exactly (-1,-1) samples texel (0,0), weight 1
     bg = jnp.logical_and(uv[..., 0] == -1.0, uv[..., 1] == -1.0)[..., None]
     return jnp.where(bg, texture_cf[:, 0, 0][None, None, None, :], out)
 
 
 def splat_with_residual(g, uv, plan, tex_h, tex_w, compute="f32",
-                        interpret=False):
+                        interpret=False, include_background=True, row0=None):
     """Full planned backward: window splats + compact residual scatter +
     analytic background sum. Matches the XLA scatter-add backward; returns
     the channel-first ``[3, tex_h, tex_w]`` atlas gradient."""
     atlas = splat_pallas(g, uv, plan, tex_h, tex_w, compute=compute,
-                         interpret=interpret)
+                         interpret=interpret, row0=row0)
     v = g.shape[0]
     g_flat = g.reshape(v, -1, 3)
     upd = jnp.take_along_axis(g_flat, plan.res_pixel[..., None], axis=1)
@@ -450,6 +470,8 @@ def splat_with_residual(g, uv, plan, tex_h, tex_w, compute="f32",
     flat = atlas.reshape(3, -1)
     flat = flat.at[:, plan.res_texel.reshape(-1)].add(upd.reshape(-1, 3).T)
     atlas = flat.reshape(3, tex_h, tex_w)
+    if not include_background:
+        return atlas
     # analytic background: every grid-(-1,-1) pixel adds its cotangent to
     # texel (0,0) with weight 1
     bg = jnp.logical_and(uv[..., 0] == -1.0, uv[..., 1] == -1.0)[..., None]

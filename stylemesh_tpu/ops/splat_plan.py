@@ -57,7 +57,7 @@ _SPLAT_BUCKET = 64
         "g_has2", "s_ids", "s_oy", "s_ox", "s_load", "s_store", "s_alive",
         "s_oy2", "s_ox2", "s_has2", "res_texel", "res_pixel", "res_weight",
     ],
-    meta_fields=["tile_h", "tile_w", "region_h", "region_w"],
+    meta_fields=["tile_h", "tile_w", "region_h", "region_w", "tex_h_global"],
 )
 @dataclasses.dataclass(frozen=True)
 class PlanArrays:
@@ -108,6 +108,10 @@ class PlanArrays:
     tile_w: int = TILE_W
     region_h: int = REGION_H
     region_w: int = REGION_W
+    # atlas-sharded (banded) plans: the FULL atlas height the uv->texel
+    # mapping is computed against (window origins stay global; the kernels
+    # subtract the chip's band row offset for the DMA). 0 = unbanded.
+    tex_h_global: int = 0
 
     @property
     def tile_px(self):
@@ -160,7 +164,8 @@ def _roundup(x, m):
     return int(-(-int(x) // m) * m)
 
 
-def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W):
+def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W,
+                  max_region_h=None):
     """Size the texel window for this (level, layer) from the footprint
     distribution over all views' tiles.
 
@@ -190,7 +195,7 @@ def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W):
     fw = np.concatenate(fw_all).astype(np.int64)
 
     def clamp_hw(need_h, need_w):
-        rh = min(_roundup(max(need_h, 8), ALIGN_H), tex_h)
+        rh = min(_roundup(max(need_h, 8), ALIGN_H), tex_h, max_region_h or tex_h)
         rw = min(_roundup(max(need_w, 128), ALIGN_W), tex_w)
         # VMEM cap: shrink the larger axis until the window fits the budget
         while rh * rw > _MAX_REGION_TEXELS:
@@ -216,8 +221,13 @@ def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W):
 
 
 def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
-               weight_mask=None):
-    """Plan one view. Returns a dict of per-tile schedule data + residuals."""
+               weight_mask=None, row_range=None, owner_mask=None):
+    """Plan one view. Returns a dict of per-tile schedule data + residuals.
+
+    ``row_range=(r0, r1)`` confines windows to an atlas row band (atlas
+    sharding: each chip owns a band, windows never cross it); ``owner_mask``
+    marks the tiles this band processes — other tiles are treated as fully
+    invalid here (another band's plan covers them)."""
     h, w = uv.shape[:2]
     uv_tiles = tile_uv(np.asarray(uv, np.float32), tile_h, tile_w)
     n_tiles, tile_px = uv_tiles.shape[0], tile_h * tile_w
@@ -230,7 +240,10 @@ def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
     valid = uv_tiles[..., 0] > -5.0
     background = (uv_tiles[..., 0] == -1.0) & (uv_tiles[..., 1] == -1.0)
     valid = valid & ~background
+    if owner_mask is not None:
+        valid = valid & owner_mask[:, None]
     alive = valid.any(axis=1)
+    r0, r1 = row_range if row_range is not None else (0, tex_h)
 
     # splat-liveness: gradient provably zero -> drop from the splat schedule
     if weight_mask is not None:
@@ -250,11 +263,12 @@ def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
     # 2. fine anchor — min snapped to the (8, 128) DMA alignment;
     # 3. island seams (footprint exceeds the window) — centered on the
     #    median so the majority side stays in-window.
-    def plan_axis(i0, size, region, align):
+    def plan_axis(i0, size, region, align, lo_lim=0, hi_lim=None):
+        hi_lim = size if hi_lim is None else hi_lim
         lo = np.min(np.where(valid, i0, size - 1), axis=1)
         med = np.nanmedian(
             np.where(valid, i0.astype(np.float64), np.nan), axis=1)
-        med = np.nan_to_num(med, nan=0.0)
+        med = np.nan_to_num(med, nan=float(lo_lim))
         hi = np.max(np.where(valid, i0, 0), axis=1)
         coarse = max(align, (region // 2 // align) * align)
         o_coarse = (lo // coarse) * coarse
@@ -265,13 +279,13 @@ def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
         o_med = ((np.maximum(med - region // 2, 0)).astype(np.int64)
                  // align) * align
         o = np.where(fits_coarse, o_coarse, np.where(fits_fine, o_fine, o_med))
-        return np.clip(o, 0, max(size - region, 0)).astype(np.int32)
+        return np.clip(o, lo_lim, max(hi_lim - region, lo_lim)).astype(np.int32)
 
     import warnings
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", RuntimeWarning)
-        oy = plan_axis(iy0, tex_h, region_h, ALIGN_H)
+        oy = plan_axis(iy0, tex_h, region_h, ALIGN_H, r0, r1)
         ox = plan_axis(ix0, tex_w, region_w, ALIGN_W)
 
     def in_window(iy, ix, wy, wx):
@@ -295,8 +309,8 @@ def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
         lo_y = np.minimum(lo_y, np.min(np.where(o, iy, tex_h - 1), axis=1))
         lo_x = np.minimum(lo_x, np.min(np.where(o, ix, tex_w - 1), axis=1))
     has2 = any_out.any(axis=1).astype(np.int32)
-    oy2 = np.clip((lo_y // ALIGN_H) * ALIGN_H, 0,
-                  max(tex_h - region_h, 0)).astype(np.int32)
+    oy2 = np.clip((lo_y // ALIGN_H) * ALIGN_H, r0,
+                  max(r1 - region_h, r0)).astype(np.int32)
     ox2 = np.clip((lo_x // ALIGN_W) * ALIGN_W, 0,
                   max(tex_w - region_w, 0)).astype(np.int32)
     oy2 = np.where(has2 > 0, oy2, 0).astype(np.int32)
@@ -445,3 +459,132 @@ def plan_arrays_for_views(uv_views, tex_h, tex_w, cap=None, region_h=None,
         res_texel=rt, res_pixel=rp, res_weight=rw_,
         tile_h=tile_h, tile_w=tile_w,
         region_h=int(region_h), region_w=int(region_w))
+
+
+def plan_arrays_banded(uv_views, tex_h, tex_w, n_bands, cap=None,
+                       tile_h=TILE_H, tile_w=TILE_W,
+                       weight_masks=None) -> PlanArrays:
+    """Atlas-sharded plan: the atlas is split into ``n_bands`` row bands
+    (chip d owns rows [d*H/D, (d+1)*H/D)); every schedule/residual array
+    gains a leading band axis so a shard_map over the atlas axis slices it.
+
+    Windows never cross a band (they are clamped into the owner band and the
+    overflow rides the secondary-window / residual machinery), so no halo
+    exchange is needed in the hot path: each chip gathers/splats only its
+    band, partial per-pixel gathers are psum'd, and residual contributions
+    are routed to the band that owns their texel. Origins and residual texel
+    indices are band-LOCAL (the chip's atlas slice is its own array).
+    """
+    uv_views = np.asarray(uv_views)
+    nv = uv_views.shape[0]
+    assert tex_h % n_bands == 0 and (tex_h // n_bands) % ALIGN_H == 0, \
+        (tex_h, n_bands)
+    band_h = tex_h // n_bands
+    region_h, region_w = choose_region(uv_views, tex_h, tex_w, tile_h,
+                                       tile_w, max_region_h=band_h)
+
+    # tile ownership: the band holding the footprint's median row
+    owners = []
+    import warnings
+
+    for v in range(nv):
+        uvt = tile_uv(np.asarray(uv_views[v], np.float32), tile_h, tile_w)
+        iy0, _, _, _, _, _ = _corner_data(uvt, tex_h, tex_w)
+        valid = ((uvt[..., 0] > -5.0)
+                 & ~((uvt[..., 0] == -1.0) & (uvt[..., 1] == -1.0)))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            med = np.nanmedian(
+                np.where(valid, iy0.astype(np.float64), np.nan), axis=1)
+        med = np.nan_to_num(med, nan=0.0)
+        owners.append(np.clip(med.astype(np.int64) // band_h, 0,
+                              n_bands - 1))
+
+    per_band = []  # [band][view] -> (plan dict, gather order, splat order)
+    for b in range(n_bands):
+        r0, r1 = b * band_h, (b + 1) * band_h
+        rows = []
+        for v in range(nv):
+            p = _plan_view(uv_views[v], tex_h, tex_w, tile_h, tile_w,
+                           region_h, region_w,
+                           None if weight_masks is None else weight_masks[v],
+                           row_range=(r0, r1), owner_mask=owners[v] == b)
+            rows.append((p, _order_and_runs(p, for_splat=False),
+                         _order_and_runs(p, for_splat=True)))
+        per_band.append(rows)
+
+    # re-bucket residuals by the band OWNING the texel (scatter locality),
+    # independent of which band's windows produced them
+    res = [[([], [], []) for _ in range(nv)] for _ in range(n_bands)]
+    for b in range(n_bands):
+        for v in range(nv):
+            p = per_band[b][v][0]
+            if not len(p["res_texel"]):
+                continue
+            tband = (p["res_texel"] // tex_w) // band_h
+            for tb in np.unique(tband):
+                sel = tband == tb
+                res[tb][v][0].append(p["res_texel"][sel]
+                                     - tb * band_h * tex_w)  # band-local
+                res[tb][v][1].append(p["res_pixel"][sel])
+                res[tb][v][2].append(p["res_weight"][sel])
+    counts = [len(np.concatenate(res[b][v][0])) if res[b][v][0] else 0
+              for b in range(n_bands) for v in range(nv)]
+    if cap is None:
+        cap = max(1, max(counts))
+        cap = int(2 ** np.ceil(np.log2(cap)))
+    assert max(counts) <= cap, (max(counts), cap)
+
+    s_len = max(1, max(len(per_band[b][v][2]["ids"])
+                       for b in range(n_bands) for v in range(nv)))
+    s_len = _roundup(s_len, _SPLAT_BUCKET)
+
+    def pad(a, n):
+        out = np.zeros((n,), np.int32)
+        out[:len(a)] = a
+        return out
+
+    def assemble_band(b, r0):
+        gs = [per_band[b][v][1] for v in range(nv)]
+        ss = [per_band[b][v][2] for v in range(nv)]
+        g = {k: np.stack([np.asarray(s[k], np.int32) for s in gs])
+             for k in ("ids", "oy", "ox", "load", "alive", "oy2", "ox2",
+                       "has2")}
+        s = {k: np.stack([pad(np.asarray(s_[k], np.int32), s_len)
+                          for s_ in ss])
+             for k in ("ids", "oy", "ox", "load", "store", "alive", "oy2",
+                       "ox2", "has2")}
+        # window rows stay GLOBAL (the uv->texel math needs them); the
+        # kernels subtract the chip's band offset for the DMA. Dead entries
+        # get in-band benign origins so the subtraction stays aligned >= 0.
+        for d in (g, s):
+            d["oy"] = np.where(d["alive"] > 0, d["oy"], r0).astype(np.int32)
+            d["oy2"] = np.maximum(d["oy2"], r0).astype(np.int32)
+        rt = np.zeros((nv, cap), np.int32)
+        rp = np.zeros((nv, cap), np.int32)
+        rw_ = np.zeros((nv, cap), np.float32)
+        for v in range(nv):
+            if res[b][v][0]:
+                t = np.concatenate(res[b][v][0])
+                rt[v, :len(t)] = t
+                rp[v, :len(t)] = np.concatenate(res[b][v][1])
+                rw_[v, :len(t)] = np.concatenate(res[b][v][2])
+        return g, s, rt, rp, rw_
+
+    bands = [assemble_band(b, b * band_h) for b in range(n_bands)]
+    gk = ("ids", "oy", "ox", "load", "alive", "oy2", "ox2", "has2")
+    sk = ("ids", "oy", "ox", "load", "store", "alive", "oy2", "ox2", "has2")
+    g = {k: np.stack([bb[0][k] for bb in bands]) for k in gk}
+    s = {k: np.stack([bb[1][k] for bb in bands]) for k in sk}
+    return PlanArrays(
+        g_ids=g["ids"], g_oy=g["oy"], g_ox=g["ox"], g_load=g["load"],
+        g_alive=g["alive"], g_oy2=g["oy2"], g_ox2=g["ox2"], g_has2=g["has2"],
+        s_ids=s["ids"], s_oy=s["oy"], s_ox=s["ox"], s_load=s["load"],
+        s_store=s["store"], s_alive=s["alive"], s_oy2=s["oy2"],
+        s_ox2=s["ox2"], s_has2=s["has2"],
+        res_texel=np.stack([bb[2] for bb in bands]),
+        res_pixel=np.stack([bb[3] for bb in bands]),
+        res_weight=np.stack([bb[4] for bb in bands]),
+        tile_h=tile_h, tile_w=tile_w,
+        region_h=int(region_h), region_w=int(region_w),
+        tex_h_global=int(tex_h))

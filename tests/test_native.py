@@ -97,6 +97,25 @@ def test_bake_view_lod_channel():
     assert uv3[..., 2].max() <= 10.0
 
 
+def test_near_plane_clipping():
+    """Triangles spanning the camera plane must be clipped, not culled: a
+    floor quad passing under the camera still covers the lower frame (the GL
+    renderer clips in hardware; a vertex-cull would drop it entirely)."""
+    verts = np.asarray([(-5, 1, -5), (5, 1, -5), (5, 1, 5), (-5, 1, 5)],
+                       np.float32)  # y=1 'floor' extending behind the camera
+    faces = np.asarray([(0, 1, 2), (0, 2, 3)], np.int32)
+    uvs = np.asarray([(0, 0), (1, 0), (1, 1), (0, 1)], np.float32)
+    normals = np.tile(np.asarray([0, -1, 0], np.float32), (4, 1))
+    cam = np.eye(4, dtype=np.float32)  # camera at origin looking +z
+    k = np.array([[40.0, 0, 32.0], [0, 40.0, 24.0], [0, 0, 1]], np.float32)
+    uv, ang, d, hit, lod = native.rasterize_mesh_native(
+        verts, faces, uvs, normals, cam, k, (48, 64))
+    # bottom rows see the floor; top rows see nothing
+    assert hit[40:].mean() > 0.9
+    assert hit[:20].mean() == 0.0
+    assert d[hit].min() > 0
+
+
 def test_native_textured_render():
     verts, faces, uvs, normals, cam, k = _scene()
     tex = np.zeros((64, 64, 3), np.float32)

@@ -87,6 +87,45 @@ def test_sharded_step_with_splat_plans_matches(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_atlas_sharded_step_matches(setup):
+    """Atlas sharding: texture row-banded over 8 chips, banded plans, psum'd
+    gathers, band-local splats — one step must match the single-device
+    planned step on both losses and the updated texture."""
+    import dataclasses
+
+    from stylemesh_tpu.data.synthetic import with_splat_plans
+    from stylemesh_tpu.parallel.atlas import (
+        AtlasShardedPipeline,
+        with_banded_splat_plans,
+    )
+
+    cfg, vgg, style, batch = setup
+    cfg = dataclasses.replace(cfg, texture_width=128, texture_height=64,
+                              hierarchical_layers=2)
+    layer_sizes = [(64, 128), (32, 64)]  # layer 1 not plan-eligible
+
+    single = TexturePipeline(cfg, vgg, style)
+    batch_p = with_splat_plans(batch, layer_sizes, use_angle_weight=True,
+                               use_depth_scaling=True)
+    s_state, s_losses = single.train_step(single.init(), batch_p)
+
+    mesh = make_mesh(jax.devices(), axis_name="atlas")
+    atlas = AtlasShardedPipeline(cfg, vgg, style, mesh=mesh)
+    batch_b = with_banded_splat_plans(batch, layer_sizes, n_bands=8,
+                                      use_angle_weight=True,
+                                      use_depth_scaling=True)
+    assert batch_b.splat_plans[0][0] is not None
+    assert batch_b.splat_plans[0][0].g_ids.shape[0] == 8  # band axis
+    assert batch_b.splat_plans[0][1] is None  # all_gather fallback layer
+    a_state, a_losses = atlas.train_step(atlas.init(), batch_b)
+
+    for k in s_losses:
+        np.testing.assert_allclose(float(a_losses[k]), float(s_losses[k]),
+                                   rtol=2e-4, err_msg=k)
+    for a, b in zip(s_state.texture.layers, a_state.texture.layers):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_sharded_multiple_steps(setup):
     cfg, vgg, style, batch = setup
     mesh = make_mesh(jax.devices())
