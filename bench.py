@@ -84,9 +84,13 @@ def _run_bench(batch_views):
         kernel_compute="f32" if os.environ.get("BENCH_KERNEL_BF16") == "0"
         else "bf16",
         # V<=2 fits HBM without remat; larger batches re-enable it (V=4
-        # without remat exceeds HBM by ~0.6GB: the pyramid VGG activations)
+        # without remat exceeds HBM by ~0.6GB: the pyramid VGG activations).
+        # Selective remat recomputes only the largest pyramid level — the
+        # actual memory peak — and skips the recompute for the other three
+        # (460 vs 497 ms/step at V=4, tools/remat_sweep.py)
         remat_vgg=(batch_views > 2
                    and os.environ.get("BENCH_NO_REMAT") != "1"),
+        remat_min_px=600_000,
     )
     vgg = init_vgg_params(rng=0, scale=0.05)
     rng = np.random.default_rng(0)
@@ -111,6 +115,9 @@ def _run_bench(batch_views):
                                  use_depth_scaling=cfg.use_depth_scaling)
 
     _log(f"devices: {jax.devices()}")
+    # plans/uv are host numpy; place them once so steps don't re-upload
+    # ~100MB of schedules per call (the upload serializes dispatch)
+    batch = jax.device_put(batch)
     pipe = TexturePipeline(cfg, vgg, style)
     state = pipe.init()
 
@@ -130,11 +137,14 @@ def _run_bench(batch_views):
     prepare_s = time.perf_counter() - t_p
     _log(f"prepare_batch: {prepare_s * 1e3:.1f} ms (amortized /{INDEX_REPEAT})")
 
+    # steps are dispatched back-to-back (state chains on device); syncing
+    # every step would serialize host dispatch into the device timeline,
+    # which no real training loop does (optimize.py defers loss fetches)
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, losses = pipe.train_step(state, batch, aux)
-        jax.block_until_ready(losses)
-        _log(f"step {i}: {time.perf_counter() - t0:.2f}s elapsed")
+    jax.block_until_ready(losses)
+    _log(f"{STEPS} steps: {time.perf_counter() - t0:.2f}s elapsed")
     dt = time.perf_counter() - t0 + prepare_s * STEPS / INDEX_REPEAT
 
     views_per_sec = STEPS * batch_views / dt

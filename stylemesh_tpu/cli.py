@@ -95,6 +95,10 @@ def build_parser():
                    help="splat/gather kernel math; bf16 is ~22%% faster and "
                         "tracks f32 to 5e-5 relative loss "
                         "(tools/bf16_quality_check.py)")
+    p.add_argument("--remat_min_px", default=600_000, type=int,
+                   help="recompute-in-backward only pyramid levels with >= "
+                        "this many pixels (the HBM peak); 0 remats every "
+                        "level (slower, lowest memory)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--no_post_steps", default=False, action="store_true")
     return p
@@ -130,6 +134,7 @@ def configs_from_args(args):
         decay_step_size=args.decay_step_size,
         compute_dtype=jnp.bfloat16 if args.bfloat16 else None,
         kernel_compute=args.kernel_compute,
+        remat_min_px=args.remat_min_px,
     )
     run = RunConfig(
         root_path=args.root_path,

@@ -88,6 +88,10 @@ class ContentAndStyleLoss:
     num_style_levels: int = 5
     style_min_size: int = 256  # pyramid floor (reference image_pyramid default)
     remat: bool = True  # recompute VGG activations in backward (HBM headroom)
+    # selective remat: only pyramid levels with >= this many pixels are
+    # rematerialized (they dominate the activation memory); smaller levels
+    # keep their activations and skip the recompute. 0 = remat every level.
+    remat_min_px: int = 0
     compute_dtype: Optional[jnp.dtype] = None
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
@@ -223,11 +227,17 @@ class ContentAndStyleLoss:
 
         # the VGG activations of the prediction pyramid are the memory peak
         # of the step (up to 960px x 64ch per level x batch); remat recomputes
-        # them in the backward for ~1/3 extra conv FLOPs
+        # them in the backward for ~1/3 extra conv FLOPs. With remat_min_px
+        # only the large levels (the actual memory peak) pay the recompute.
         encode = lambda x: self._encode(vgg_params, x, all_layers)
-        if self.remat:
-            encode = jax.checkpoint(encode)
-        pred_encs = [encode(p) for p in pred_pyramid]
+        encode_remat = jax.checkpoint(encode)
+
+        def encode_level(p):
+            if self.remat and p.shape[1] * p.shape[2] >= self.remat_min_px:
+                return encode_remat(p)
+            return encode(p)
+
+        pred_encs = [encode_level(p) for p in pred_pyramid]
 
         if aux is None:
             aux = self.precompute_aux(

@@ -133,6 +133,7 @@ class PipelineConfig:
     use_splat_kernel: bool = True  # Pallas backward when plans are attached
     kernel_compute: str = "f32"  # splat/gather kernel math: "f32" | "bf16"
     remat_vgg: bool = True  # recompute VGG activations in backward
+    remat_min_px: int = 0  # remat only levels with >= this many pixels
 
     def resolved_tex_reg_weights(self):
         if self.tex_reg_weights is not None:
@@ -157,6 +158,7 @@ class PipelineConfig:
             num_style_levels=self.num_style_levels,
             style_min_size=self.style_min_size,
             remat=self.remat_vgg,
+            remat_min_px=self.remat_min_px,
             compute_dtype=self.compute_dtype,
             precision=self.precision,
         )

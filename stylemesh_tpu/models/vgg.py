@@ -50,15 +50,26 @@ _TRUNK = [
 ]
 
 
-def init_vgg_params(rng=None, dtype=jnp.float32, scale=0.05):
-    """Random VGG params (tests / weight-free benchmarking)."""
+def init_vgg_params(rng=None, dtype=jnp.float32, scale=0.05, he=False):
+    """Random VGG params (tests / weight-free benchmarking).
+
+    ``he=True`` uses He-normalized per-layer scales (sqrt(2/fan_in)) so
+    activations stay O(1) through the trunk. A fixed global ``scale`` makes
+    deep activations explode (gain ~ scale*sqrt(9*C) per conv), which turns
+    the loss Jacobian chaotic — ulp-level input rounding then flips ReLU
+    masks and reroutes large cotangent mass, making per-pixel gradient
+    comparisons between differently-scheduled-but-equivalent computations
+    (e.g. sharded vs single-chip) ill-posed. Parity tests should pass he=True.
+    """
     rng = np.random.default_rng(0 if rng is None else rng)
     params = {}
     for name, cin, cout in VGG_CONVS:
+        s = float(np.sqrt(2.0 / (9 * cin))) if he else scale
         params[name] = {
             "kernel": jnp.asarray(
-                rng.normal(0.0, scale, size=(3, 3, cin, cout)), dtype=dtype),
-            "bias": jnp.asarray(rng.normal(0.0, scale, size=(cout,)), dtype=dtype),
+                rng.normal(0.0, s, size=(3, 3, cin, cout)), dtype=dtype),
+            "bias": jnp.asarray(rng.normal(0.0, 0.05 if he else scale,
+                                           size=(cout,)), dtype=dtype),
         }
     return params
 

@@ -1,33 +1,39 @@
-"""Pallas TPU kernels: tiled texture-gradient splat + windowed gather (v2).
+"""Pallas TPU kernels: tiled texture-gradient splat + windowed gather (v3).
 
 The measured XLA scatter-add costs ~90ns per contribution on TPU (580ms for
 one 2x784x1045 pyramid level into a 4096² atlas) and dominated the training
 step. These kernels exploit structure:
 
 1. UV maps are smooth within chart islands, so a ``tile_h x tile_w`` pixel
-   tile's bilinear footprint fits one (or, across an island seam, two)
-   ``region_h x region_w`` texel windows, planned host-side over the
-   per-scene-constant UV maps (:mod:`stylemesh_tpu.ops.splat_plan`). Windows
-   are sized per (pyramid level, texture layer) from the real footprints —
-   the matmul cost below is proportional to window area.
+   tile's bilinear footprint fits one ``region_h x region_w`` texel window,
+   planned host-side over the per-scene-constant UV maps
+   (:mod:`stylemesh_tpu.ops.splat_plan`). Windows are sized per (pyramid
+   level, texture layer) from the real footprints — the matmul cost below is
+   proportional to window area.
 2. Within a window, the 4-corner splat factorizes into row/column one-hot
    weight matrices, so the accumulation becomes MXU matmuls:
    ``region[r, c] += sum_p rowW[r, p] * colW[c, p] * g[ch, p]``.
-3. Tiles are processed in window-sorted order; a run of tiles sharing a
-   window loads/stores it once (the planner emits load/store flags).
-4. Splat tiles whose gradient is provably zero (masked out by the angle /
+3. Schedule entries are processed in window-sorted order; a run of entries
+   sharing a window loads/stores it once (the planner emits load/store
+   flags).
+4. Tiles straddling island seams are split into per-island entries: each
+   entry filters the tile's pixels by a planned per-pixel label (third uv
+   channel) and runs the same factorized path against its own window. Pixel
+   sets are disjoint, so every corner is counted exactly once — there is no
+   per-corner slow path.
+5. Splat entries whose gradient is provably zero (masked out by the angle /
    depth-scaling gradient weights) are dropped from the schedule entirely.
-5. Background pixels (grid exactly (-1,-1) -> texel (0,0), weight 1) are
-   handled analytically by the wrappers; leftovers outside both windows go
-   to a compact XLA residual scatter.
+6. Background pixels (grid exactly (-1,-1) -> texel (0,0), weight 1) are
+   handled analytically by the wrappers; leftovers outside every entry
+   window go to a compact XLA residual scatter.
 
 TPU layout notes: the atlas is processed channel-FIRST ``[3, H, W]`` — a
 channel-minor ``[H, W, 3]`` HBM buffer tiles its 3-wide minor dim to 128
 lanes (42x padding) and Mosaic rejects 3-wide DMA slices. Window origins are
 (8, 128)-aligned (planner guarantees; ``pl.multiple_of`` proves it). Grid
-steps run sequentially on the core, so read-modify-write windows never race;
-seam (secondary-window) splat tiles are singleton runs processed strictly
-after their primary store, so overlapping windows stay correct.
+steps run sequentially on the core, so read-modify-write windows never race.
+Gather entries of one tile are consecutive, so their shared out block stays
+resident in VMEM and later entries accumulate into it (``g_acc``).
 """
 
 import functools
@@ -59,8 +65,9 @@ def _corner_terms(u, v, tex_h, tex_w):
 
 def _window_onehots(iy0, iy1, ix0, ix1, wy1, wx1, alive, oy, ox,
                     region_h, region_w, tile_px):
-    """Combined row/col one-hot weight matrices for a window (primary-window
-    form: the 2x2 footprint factorizes)."""
+    """Combined row/col one-hot weight matrices for a window (the 2x2
+    bilinear footprint factorizes; out-of-window corners vanish because the
+    iota never matches their offset)."""
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (region_h, tile_px), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (region_w, tile_px), 0)
     row_w = ((iota_r == (iy0 - oy)).astype(jnp.float32) * (1.0 - wy1)
@@ -68,20 +75,6 @@ def _window_onehots(iy0, iy1, ix0, ix1, wy1, wx1, alive, oy, ox,
     col_w = ((iota_c == (ix0 - ox)).astype(jnp.float32) * (1.0 - wx1)
              + (iota_c == (ix1 - ox)).astype(jnp.float32) * wx1)
     return row_w * alive, col_w
-
-
-def _in_window(iy, ix, oy, ox, region_h, region_w):
-    return ((iy >= oy) & (iy < oy + region_h)
-            & (ix >= ox) & (ix < ox + region_w))
-
-
-def _corner_list(iy0, iy1, ix0, ix1, wy1, wx1):
-    return [
-        (iy0, ix0, (1.0 - wy1) * (1.0 - wx1)),
-        (iy0, ix1, (1.0 - wy1) * wx1),
-        (iy1, ix0, wy1 * (1.0 - wx1)),
-        (iy1, ix1, wy1 * wx1),
-    ]
 
 
 def _dot_kw(compute):
@@ -100,9 +93,9 @@ def _cast(x, compute):
 
 
 def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
-                  ids_ref, oy_ref, ox_ref, load_ref, store_ref, alive_ref,
-                  oy2_ref, ox2_ref, has2_ref, row0_ref,
-                  uv_ref, g_ref, atlas_in_ref, atlas_ref,
+                  ids_ref, oy_ref, ox_ref, sub_ref, load_ref, store_ref,
+                  alive_ref, row0_ref,
+                  uvl_ref, g_ref, atlas_in_ref, atlas_ref,
                   region, sem_in, sem_out):
     del ids_ref, atlas_in_ref  # ids consumed by index_maps; atlas aliased
     i = pl.program_id(0)
@@ -114,20 +107,23 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
     ox = pl.multiple_of(ox_ref[i], 128)
     do_load = jnp.logical_and(alive, load_ref[i] != 0)
 
-    def window_copy(o_y, o_x, src_region=False, sem=None):
-        tgt = atlas_ref.at[:, pl.ds(o_y, region_h), pl.ds(o_x, region_w)]
+    def window_copy(src_region=False, sem=None):
+        tgt = atlas_ref.at[:, pl.ds(oy_dma, region_h), pl.ds(ox, region_w)]
         if src_region:
             return pltpu.make_async_copy(region, tgt, sem)
         return pltpu.make_async_copy(tgt, region, sem)
 
     @pl.when(do_load)
     def _():
-        window_copy(oy_dma, ox, sem=sem_in).start()
+        window_copy(sem=sem_in).start()
 
-    uv = uv_ref[0]  # [2, tile_px]
+    uvl = uvl_ref[0]  # [3, tile_px]: u, v, island label
     g = g_ref[0]  # [3, tile_px]
     iy0, iy1, ix0, ix1, wy1, wx1, px_alive = _corner_terms(
-        uv[0:1, :], uv[1:2, :], tex_h, tex_w)
+        uvl[0:1, :], uvl[1:2, :], tex_h, tex_w)
+    # per-island entry: only this entry's pixels contribute
+    px_alive = px_alive * (uvl[2:3, :] == sub_ref[i].astype(jnp.float32)
+                           ).astype(jnp.float32)
     row_w, col_w = _window_onehots(iy0, iy1, ix0, ix1, wy1, wx1, px_alive,
                                    oy, ox, region_h, region_w, tile_px)
     row_w = _cast(row_w, compute)
@@ -136,7 +132,7 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
 
     @pl.when(do_load)
     def _():
-        window_copy(oy_dma, ox, sem=sem_in).wait()
+        window_copy(sem=sem_in).wait()
 
     @pl.when(alive)
     def _():
@@ -149,60 +145,28 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
 
     @pl.when(jnp.logical_and(alive, store_ref[i] != 0))
     def _():
-        cp = window_copy(oy_dma, ox, src_region=True, sem=sem_out)
+        cp = window_copy(src_region=True, sem=sem_out)
         cp.start()
         cp.wait()
-
-    # secondary (seam) window: per-corner terms excluded from window 1. Seam
-    # tiles are singleton runs, so the primary store above has completed and
-    # reusing `region` (read-modify-write) is safe even when windows overlap.
-    @pl.when(jnp.logical_and(alive, has2_ref[i] != 0))
-    def _():
-        oy2 = oy2_ref[i]
-        oy2_dma = pl.multiple_of(oy2 - row0_ref[0], 8)
-        ox2 = pl.multiple_of(ox2_ref[i], 128)
-        load2 = window_copy(oy2_dma, ox2, sem=sem_in)
-        load2.start()
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (region_h, tile_px), 0)
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (region_w, tile_px), 0)
-        load2.wait()
-        kw = _dot_kw(compute)
-        for iy, ix, wgt in _corner_list(iy0, iy1, ix0, ix1, wy1, wx1):
-            excl = 1.0 - _in_window(iy, ix, oy, ox, region_h, region_w
-                                    ).astype(jnp.float32)
-            oh_r = (iota_r == (iy - oy2)).astype(jnp.float32)
-            oh_c = _cast((iota_c == (ix - ox2)).astype(jnp.float32), compute)
-            coef = wgt * excl * px_alive
-            for ch in range(3):
-                a = _cast(oh_r * (coef * g[ch:ch + 1, :]), compute)
-                m = jax.lax.dot_general(
-                    a, oh_c, dimension_numbers=(((1,), (1,)), ((), ())), **kw)
-                region[ch, :, :] = region[ch, :, :] + m
-        store2 = window_copy(oy2_dma, ox2, src_region=True, sem=sem_out)
-        store2.start()
-        store2.wait()
 
 
 # -------------------------------------------------------------------- gather
 
 
 def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
-                   ids_ref, oy_ref, ox_ref, load_ref, alive_ref,
-                   oy2_ref, ox2_ref, has2_ref, row0_ref,
-                   uv_ref, atlas_ref, out_ref,
-                   region, region2, sem1, sem2):
+                   ids_ref, oy_ref, ox_ref, sub_ref, load_ref, acc_ref,
+                   alive_ref, row0_ref,
+                   uvl_ref, atlas_ref, out_ref,
+                   region, sem1):
     del ids_ref
     i = pl.program_id(0)
     alive = alive_ref[i] != 0
+    acc = acc_ref[i] != 0
     # global window rows for the uv->texel math; band-local rows for the DMA
     oy = oy_ref[i]
-    oy2 = oy2_ref[i]
     oy_dma = pl.multiple_of(oy - row0_ref[0], 8)
-    oy2_dma = pl.multiple_of(oy2 - row0_ref[0], 8)
     ox = pl.multiple_of(ox_ref[i], 128)
-    ox2 = pl.multiple_of(ox2_ref[i], 128)
     do_load = jnp.logical_and(alive, load_ref[i] != 0)
-    has2 = jnp.logical_and(alive, has2_ref[i] != 0)
 
     @pl.when(do_load)
     def _():
@@ -210,21 +174,17 @@ def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
             atlas_ref.at[:, pl.ds(oy_dma, region_h), pl.ds(ox, region_w)],
             region, sem1).start()
 
-    @pl.when(has2)
-    def _():
-        # seam windows are read-only: prefetch into the second scratch so
-        # window runs are not broken
-        pltpu.make_async_copy(
-            atlas_ref.at[:, pl.ds(oy2_dma, region_h), pl.ds(ox2, region_w)],
-            region2, sem2).start()
-
-    @pl.when(jnp.logical_not(alive))
+    # dead tile: zero its out block. (alive=0, acc=1 is schedule padding: the
+    # out block belongs to an already-written tile — leave it untouched.)
+    @pl.when(jnp.logical_and(jnp.logical_not(alive), jnp.logical_not(acc)))
     def _():
         out_ref[0, :, :] = jnp.zeros((3, tile_px), jnp.float32)
 
-    uv = uv_ref[0]
+    uvl = uvl_ref[0]
     iy0, iy1, ix0, ix1, wy1, wx1, px_alive = _corner_terms(
-        uv[0:1, :], uv[1:2, :], tex_h, tex_w)
+        uvl[0:1, :], uvl[1:2, :], tex_h, tex_w)
+    px_alive = px_alive * (uvl[2:3, :] == sub_ref[i].astype(jnp.float32)
+                           ).astype(jnp.float32)
     row_w, col_w = _window_onehots(iy0, iy1, ix0, ix1, wy1, wx1, px_alive,
                                    oy, ox, region_h, region_w, tile_px)
     col_w = _cast(col_w, compute)
@@ -243,28 +203,12 @@ def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
             u_rp = jax.lax.dot_general(
                 _cast(region[ch, :, :], compute), col_w,
                 dimension_numbers=(((1,), (0,)), ((), ())), **kw)
-            out_ref[0, ch, :] = jnp.sum(row_w * u_rp, axis=0)
-
-    @pl.when(has2)
-    def _():
-        pltpu.make_async_copy(
-            atlas_ref.at[:, pl.ds(oy2_dma, region_h), pl.ds(ox2, region_w)],
-            region2, sem2).wait()
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (region_h, tile_px), 0)
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (region_w, tile_px), 0)
-        kw = _dot_kw(compute)
-        for iy, ix, wgt in _corner_list(iy0, iy1, ix0, ix1, wy1, wx1):
-            excl = 1.0 - _in_window(iy, ix, oy, ox, region_h, region_w
-                                    ).astype(jnp.float32)
-            oh_r = (iota_r == (iy - oy2)).astype(jnp.float32)
-            oh_c = _cast((iota_c == (ix - ox2)).astype(jnp.float32), compute)
-            coef = wgt * excl * px_alive
-            for ch in range(3):
-                u_rp = jax.lax.dot_general(
-                    _cast(region2[ch, :, :], compute), oh_c,
-                    dimension_numbers=(((1,), (0,)), ((), ())), **kw)
-                out_ref[0, ch, :] = out_ref[0, ch, :] + jnp.sum(
-                    oh_r * u_rp, axis=0) * coef[0]
+            val = jnp.sum(row_w * u_rp, axis=0)
+            # first entry of a tile writes; later entries of the same tile
+            # accumulate (their out block is still resident — entries of one
+            # tile are consecutive in the schedule)
+            base = jnp.where(acc, out_ref[0, ch, :], 0.0)
+            out_ref[0, ch, :] = base + val
 
 
 # ------------------------------------------------------------------ wrappers
@@ -281,6 +225,15 @@ def _tile_batch_cfirst(x, fill, tile_h, tile_w):
     x = x.reshape(v, hh // tile_h, tile_h, ww // tile_w, tile_w, c)
     x = x.transpose(0, 1, 3, 5, 2, 4)  # [V, th, tw, C, tile_h, tile_w]
     return x.reshape(-1, c, tile_h * tile_w)
+
+
+def _uvl_tiles(uv, plan, tile_h, tile_w):
+    """uv [V, H, W, 2] + plan labels [V, H, W] -> [V*T, 3, tile_px] input
+    (third channel = per-pixel island label; padding gets -10 which never
+    matches a sub id)."""
+    lbl = jnp.asarray(plan.labels, jnp.float32)[..., None]
+    uvl = jnp.concatenate([uv.astype(jnp.float32), lbl], axis=-1)
+    return _tile_batch_cfirst(uvl, -10.0, tile_h, tile_w)
 
 
 def _flat_schedule(plan: PlanArrays, keys, tiles_per_view):
@@ -318,13 +271,12 @@ def splat_pallas(g, uv, plan: PlanArrays, tex_h, tex_w, compute="f32",
     region_h, region_w = plan.region_h, plan.region_w
     tex_h_map = plan.tex_h_global or tex_h  # uv->texel math vs local band
     g_tiles = _tile_batch_cfirst(g.astype(jnp.float32), 0.0, th, tw)
-    uv_tiles = _tile_batch_cfirst(uv.astype(jnp.float32), -10.0, th, tw)
-    nv, t_view = plan.g_ids.shape
-    assert g_tiles.shape[0] == nv * t_view, (g_tiles.shape, plan.g_ids.shape)
+    uvl_tiles = _uvl_tiles(uv, plan, th, tw)
+    nv, t_view = plan.g_ids.shape[0], uvl_tiles.shape[0] // uv.shape[0]
 
     sched = _flat_schedule(
-        plan, ("s_ids", "s_oy", "s_ox", "s_load", "s_store", "s_alive",
-               "s_oy2", "s_ox2", "s_has2"), t_view)
+        plan, ("s_ids", "s_oy", "s_ox", "s_sub", "s_load", "s_store",
+               "s_alive"), t_view)
     if row0 is None:
         row0 = jnp.zeros((), jnp.int32)
     sched.append(jnp.reshape(row0, (1,)).astype(jnp.int32))
@@ -332,10 +284,10 @@ def splat_pallas(g, uv, plan: PlanArrays, tex_h, tex_w, compute="f32",
     atlas_zero = jnp.zeros((3, tex_h, tex_w), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
+        num_scalar_prefetch=8,
         grid=(n_grid,),
         in_specs=[
-            pl.BlockSpec((1, 2, tile_px), lambda i, ids, *_: (ids[i], 0, 0)),
+            pl.BlockSpec((1, 3, tile_px), lambda i, ids, *_: (ids[i], 0, 0)),
             pl.BlockSpec((1, 3, tile_px), lambda i, ids, *_: (ids[i], 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # atlas (aliased out)
         ],
@@ -352,14 +304,13 @@ def splat_pallas(g, uv, plan: PlanArrays, tex_h, tex_w, compute="f32",
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, tex_h, tex_w), jnp.float32),
-        input_output_aliases={12: 0},  # atlas input (after 10 prefetch + 2)
+        input_output_aliases={10: 0},  # atlas input (after 8 prefetch + 2)
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            # the seam-window corner loop peaks ~28MB of scoped VMEM
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(*sched, uv_tiles, g_tiles, atlas_zero)
+    )(*sched, uvl_tiles, g_tiles, atlas_zero)
     return out
 
 
@@ -372,38 +323,36 @@ def gather_pallas(texture_cfirst, uv, plan: PlanArrays, out_hw, compute="f32",
         uv: ``[V, H, W, 2]``; out_hw: (H, W) static.
     Returns:
         ``[V, H, W, 3]`` samples, with contributions only from each tile's
-        window(s) — the caller overlays the planner's residual corners and
-        the analytic background.
+        entry window(s) — the caller overlays the planner's residual corners
+        and the analytic background.
     """
     _, tex_h, tex_w = texture_cfirst.shape
     th, tw, tile_px = plan.tile_h, plan.tile_w, plan.tile_px
     region_h, region_w = plan.region_h, plan.region_w
     tex_h_map = plan.tex_h_global or tex_h
-    uv_tiles = _tile_batch_cfirst(uv.astype(jnp.float32), -10.0, th, tw)
-    nv, t_view = plan.g_ids.shape
-    assert uv_tiles.shape[0] == nv * t_view
+    uvl_tiles = _uvl_tiles(uv, plan, th, tw)
+    nv = plan.g_ids.shape[0]
+    t_view = uvl_tiles.shape[0] // uv.shape[0]
 
     sched = _flat_schedule(
-        plan, ("g_ids", "g_oy", "g_ox", "g_load", "g_alive", "g_oy2",
-               "g_ox2", "g_has2"), t_view)
+        plan, ("g_ids", "g_oy", "g_ox", "g_sub", "g_load", "g_acc",
+               "g_alive"), t_view)
     if row0 is None:
         row0 = jnp.zeros((), jnp.int32)
     sched.append(jnp.reshape(row0, (1,)).astype(jnp.int32))
     n_grid = sched[0].shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=8,
         grid=(n_grid,),
         in_specs=[
-            pl.BlockSpec((1, 2, tile_px), lambda i, ids, *_: (ids[i], 0, 0)),
+            pl.BlockSpec((1, 3, tile_px), lambda i, ids, *_: (ids[i], 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # atlas
         ],
         out_specs=pl.BlockSpec((1, 3, tile_px),
                                lambda i, ids, *_: (ids[i], 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((3, region_h, region_w), jnp.float32),
-            pltpu.VMEM((3, region_h, region_w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -416,7 +365,7 @@ def gather_pallas(texture_cfirst, uv, plan: PlanArrays, out_hw, compute="f32",
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*sched, uv_tiles, texture_cfirst)
+    )(*sched, uvl_tiles, texture_cfirst)
 
     # un-tile back to [V, H, W, 3]
     h, w = out_hw

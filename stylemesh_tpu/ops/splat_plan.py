@@ -1,4 +1,4 @@
-"""Host-side planning for the Pallas texture gather/splat kernels.
+"""Host-side planning for the Pallas texture gather/splat kernels (v3).
 
 The backward of bilinear texture sampling is a scatter-add of 4-corner
 weighted pixel gradients into the atlas; XLA's TPU scatter costs ~90ns/index
@@ -10,12 +10,19 @@ planned offline per (view, pyramid level, texture layer):
 - UV smoothness means a pixel tile's 4-corner footprint usually fits a small
   texel window; the planner sizes the window **per (level, layer)** from the
   actual footprint distribution (a cost model trades window area — the MXU
-  matmul cost is proportional to it — against seam-tile overflow);
-- tiles are *sorted by window origin* and consecutive tiles sharing a window
-  are grouped: the kernel loads/stores the window once per group;
-- tiles whose footprint exceeds the window (UV island seams) get a secondary
-  window (scheduled as singleton groups in the splat); leftovers go to a
-  compact XLA residual scatter;
+  matmul cost is proportional to it — against seam-tile splitting);
+- tiles are *sorted by window origin* and consecutive schedule entries
+  sharing a window are grouped: the kernel loads/stores the window once per
+  group;
+- tiles whose footprint exceeds the window (UV chart seams) are **split into
+  per-island entries**: the tile's pixels are partitioned host-side into
+  groups whose footprints each fit one window (bucket by texel cell, greedy
+  bbox merge), each group becomes its own schedule entry carrying a pixel
+  label the kernel filters on. Pixel sets are disjoint, so every 4-corner
+  contribution is processed exactly once, with the same factorized-matmul
+  path as smooth tiles — no per-corner slow path;
+- the rare leftovers (> MAX_TILE_ENTRIES islands in one tile, corners
+  clipped at an atlas band edge) go to a compact XLA residual scatter;
 - tiles whose gradient is provably zero (outside the UV mask, or zeroed by
   the angle/depth gradient weights — see
   :func:`stylemesh_tpu.data.grad_masks.grad_weight_masks`) are dropped from
@@ -45,17 +52,21 @@ ALIGN_H = 8
 ALIGN_W = 128
 # VMEM budget for the two window scratch buffers (3 channels, f32, x2)
 _MAX_REGION_TEXELS = 256 * 1024
-# splat schedules are padded to multiples of this (fewer recompiles across
+# schedules are padded to multiples of these (fewer recompiles across
 # batches with different live-tile counts)
 _SPLAT_BUCKET = 64
+_GATHER_BUCKET = 16
+# a tile's pixels are split into at most this many per-island entries;
+# overflow pixels go to the residual scatter (label -1)
+MAX_TILE_ENTRIES = 6
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "g_ids", "g_oy", "g_ox", "g_load", "g_alive", "g_oy2", "g_ox2",
-        "g_has2", "s_ids", "s_oy", "s_ox", "s_load", "s_store", "s_alive",
-        "s_oy2", "s_ox2", "s_has2", "res_texel", "res_pixel", "res_weight",
+        "labels", "g_ids", "g_oy", "g_ox", "g_sub", "g_load", "g_acc",
+        "g_alive", "s_ids", "s_oy", "s_ox", "s_sub", "s_load", "s_store",
+        "s_alive", "res_texel", "res_pixel", "res_weight",
     ],
     meta_fields=["tile_h", "tile_w", "region_h", "region_w", "tex_h_global"],
 )
@@ -64,43 +75,52 @@ class PlanArrays:
     """Device-side plan for one (level, texture-layer) pair, batched over
     views. All schedule arrays are ``[V, n]`` with per-view-LOCAL tile ids so
     the view axis shards cleanly; wrappers flatten and add view offsets.
+    Atlas-banded plans get a leading band axis on every schedule/residual
+    array (and a tiled copy of ``labels`` per band) so a shard_map over the
+    atlas axis slices them.
 
-    Gather schedule (all tiles, sorted by window origin):
+    ``labels [V, H, W]``: per-pixel entry label within its tile (int8;
+    0 for ordinary pixels, 0..k-1 for split seam tiles, -1 for pixels routed
+    to the residual scatter). The wrappers feed it to the kernels as a third
+    uv channel; an entry processes only the pixels whose label equals its
+    ``sub`` id — pixel sets are disjoint so nothing double-counts.
+
+    Gather schedule (>= 1 entry per tile, entries of one tile consecutive):
       g_ids[v, i]   tile id processed at grid step i of view v
-      g_oy/g_ox     primary window origin
-      g_load        1 = DMA the window (first tile of a window run)
-      g_alive       0 = tile has no valid non-background pixel (skip, zero out)
-      g_oy2/g_ox2/g_has2  secondary (island-seam) window
+      g_oy/g_ox     window origin (global atlas rows; kernels subtract the
+                    chip's band offset for the DMA)
+      g_sub         entry label this step processes
+      g_load        1 = DMA the window (start of a window run)
+      g_acc         1 = accumulate into the tile's out block (a previous
+                    entry of the same tile already wrote it)
+      g_alive       0 = inert (dead/padding): write zeros when g_acc == 0,
+                    do nothing when g_acc == 1
 
-    Splat schedule (live tiles only, padded to a bucket):
-      s_ids/s_oy/s_ox     as above
-      s_load/s_store      window run boundaries (load at start, store at end)
-      s_alive             0 = padding
-      s_oy2/s_ox2/s_has2  seam window (seam tiles are singleton runs)
+    Splat schedule (live entries only, padded to a bucket): s_ids / s_oy /
+    s_ox / s_sub as above, s_load / s_store window-run boundaries, s_alive
+    0 = padding.
 
-    Residual scatter (contributions outside both windows): res_texel /
+    Residual scatter (contributions no entry window covers): res_texel /
     res_pixel / res_weight ``[V, cap]``.
 
     Static meta: tile_h/tile_w (pixel tiling) and region_h/region_w (window).
     """
 
+    labels: np.ndarray
     g_ids: np.ndarray
     g_oy: np.ndarray
     g_ox: np.ndarray
+    g_sub: np.ndarray
     g_load: np.ndarray
+    g_acc: np.ndarray
     g_alive: np.ndarray
-    g_oy2: np.ndarray
-    g_ox2: np.ndarray
-    g_has2: np.ndarray
     s_ids: np.ndarray
     s_oy: np.ndarray
     s_ox: np.ndarray
+    s_sub: np.ndarray
     s_load: np.ndarray
     s_store: np.ndarray
     s_alive: np.ndarray
-    s_oy2: np.ndarray
-    s_ox2: np.ndarray
-    s_has2: np.ndarray
     res_texel: np.ndarray
     res_pixel: np.ndarray
     res_weight: np.ndarray
@@ -160,6 +180,15 @@ def tile_uv(uv, tile_h=TILE_H, tile_w=TILE_W):
     return t.transpose(0, 2, 1, 3, 4).reshape(-1, tile_h * tile_w, 2)
 
 
+def _untile_labels(labels_tiled, h, w, tile_h, tile_w):
+    """[n_tiles, tile_px] -> [h, w] (inverse of the tile_uv layout)."""
+    hh = -(-h // tile_h) * tile_h
+    ww = -(-w // tile_w) * tile_w
+    x = labels_tiled.reshape(hh // tile_h, ww // tile_w, tile_h, tile_w)
+    x = x.transpose(0, 2, 1, 3).reshape(hh, ww)
+    return x[:h, :w]
+
+
 def _roundup(x, m):
     return int(-(-int(x) // m) * m)
 
@@ -170,9 +199,9 @@ def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W,
     distribution over all views' tiles.
 
     Cost model per tile: the kernel's MXU/VPU work is proportional to the
-    window area; a tile whose footprint misses the window pays ~4x (the
-    secondary window runs a per-corner loop). Alignment slack: origins are
-    floored to (8, 128), so the window must cover bbox + align + 2.
+    window area; a tile whose footprint misses the window is split into ~2
+    entries (each a full window pass). Alignment slack: origins are floored
+    to (8, 128), so the window must cover bbox + align + 2.
     """
     fh_all, fw_all = [], []
     for v in range(uv_views.shape[0]):
@@ -213,84 +242,166 @@ def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W,
         need_w = int(np.quantile(fw, q)) + ALIGN_W + 2
         rh, rw = clamp_hw(need_h, need_w)
         fits = (fh <= rh - ALIGN_H - 2) & (fw <= rw - ALIGN_W - 2)
-        # seam tiles cost ~4x the window work (per-corner secondary pass)
-        cost = rh * rw * (fits.size + 3 * int((~fits).sum()))
+        # a split tile costs ~2 window passes instead of 1
+        cost = rh * rw * (fits.size + int((~fits).sum()))
         if best is None or cost < best[0]:
             best = (cost, rh, rw)
     return best[1], best[2]
 
 
-def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
-               weight_mask=None, row_range=None, owner_mask=None):
-    """Plan one view. Returns a dict of per-tile schedule data + residuals.
+def _tile_partition(iy0_t, ix0_t, valid_t, region_h, region_w):
+    """Partition ONE seam tile's valid pixels into at most MAX_TILE_ENTRIES
+    groups whose iy0/ix0 bounding boxes each fit an aligned window.
 
-    ``row_range=(r0, r1)`` confines windows to an atlas row band (atlas
-    sharding: each chip owns a band, windows never cross it); ``owner_mask``
-    marks the tiles this band processes — other tiles are treated as fully
-    invalid here (another band's plan covers them)."""
+    Pixels are bucketed by texel cell (half-window grid), buckets greedily
+    merged largest-first while the union bbox still fits. Returns
+    ``labels [tile_px]`` (-1 = overflow, routed to residuals) and the group
+    bbox list ``[(y0, y1, x0, x1), ...]``.
+    """
+    def bbox_fits(y0, y1, x0, x1):
+        # exact test against the aligned-down origin the entry will get
+        return (y1 - (y0 // ALIGN_H) * ALIGN_H <= region_h - 2
+                and x1 - (x0 // ALIGN_W) * ALIGN_W <= region_w - 2)
+
+    bh = max(ALIGN_H, region_h // 2)
+    bw = max(ALIGN_W, region_w // 2)
+    labels = np.full(iy0_t.shape, -1, np.int32)
+    cell = (iy0_t.astype(np.int64) // bh) * 1_000_000 + ix0_t // bw
+    cell = np.where(valid_t, cell, -1)
+    uniq, counts = np.unique(cell[valid_t], return_counts=True)
+    groups = []
+    for ci in uniq[np.argsort(-counts, kind="stable")]:
+        sel = cell == ci
+        y0 = int(iy0_t[sel].min())
+        y1 = int(iy0_t[sel].max())
+        x0 = int(ix0_t[sel].min())
+        x1 = int(ix0_t[sel].max())
+        placed = False
+        for gi, g in enumerate(groups):
+            ny0, ny1 = min(g[0], y0), max(g[1], y1)
+            nx0, nx1 = min(g[2], x0), max(g[3], x1)
+            if bbox_fits(ny0, ny1, nx0, nx1):
+                groups[gi] = (ny0, ny1, nx0, nx1)
+                labels[sel] = gi
+                placed = True
+                break
+        if not placed and len(groups) < MAX_TILE_ENTRIES \
+                and bbox_fits(y0, y1, x0, x1):
+            groups.append((y0, y1, x0, x1))
+            labels[sel] = len(groups) - 1
+    return labels, groups
+
+
+def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
+               weight_mask=None, n_bands=1):
+    """Plan one view: per-tile entries (split at island seams), per-pixel
+    labels, and residual leftovers. Entry windows are confined to the atlas
+    row band owning the entry's footprint when ``n_bands > 1``."""
     h, w = uv.shape[:2]
+    band_h = tex_h // n_bands
     uv_tiles = tile_uv(np.asarray(uv, np.float32), tile_h, tile_w)
     n_tiles, tile_px = uv_tiles.shape[0], tile_h * tile_w
 
     iy0, iy1, ix0, ix1, wy1, wx1 = _corner_data(uv_tiles, tex_h, tex_w)
     # padded pixels excluded entirely; background pixels (baked uv exactly 0
     # -> grid exactly (-1,-1) -> texel (0,0) with weight 1) are handled
-    # analytically by the wrappers, so they must not pollute the window bbox
+    # analytically by the wrappers, so they must not pollute entry bboxes
     # nor the residual lists
     valid = uv_tiles[..., 0] > -5.0
     background = (uv_tiles[..., 0] == -1.0) & (uv_tiles[..., 1] == -1.0)
     valid = valid & ~background
-    if owner_mask is not None:
-        valid = valid & owner_mask[:, None]
     alive = valid.any(axis=1)
-    r0, r1 = row_range if row_range is not None else (0, tex_h)
 
-    # splat-liveness: gradient provably zero -> drop from the splat schedule
+    # splat-liveness per pixel: gradient provably zero -> excluded from the
+    # splat schedule (entries all of whose pixels are dead are dropped)
     if weight_mask is not None:
         wm = _pad_to_tiles(np.asarray(weight_mask, bool).reshape(h, w, 1),
                            tile_h, tile_w, False)
         hh, ww = wm.shape[:2]
         wm = wm.reshape(hh // tile_h, tile_h, ww // tile_w, tile_w)
         wm = wm.transpose(0, 2, 1, 3).reshape(-1, tile_px)
-        s_alive = (valid & wm).any(axis=1)
+        wm = wm & valid
     else:
-        s_alive = alive.copy()
+        wm = valid
 
-    # primary window origin, in preference order:
+    big = np.iinfo(np.int32).max
+    lo_y = np.min(np.where(valid, iy0, big), axis=1)
+    hi_y = np.max(np.where(valid, iy0, -1), axis=1)
+    lo_x = np.min(np.where(valid, ix0, big), axis=1)
+    hi_x = np.max(np.where(valid, ix0, -1), axis=1)
+
+    # window origin for fitting tiles, in preference order:
     # 1. coarse anchor — footprint min snapped DOWN to a half-region grid, if
     #    the footprint still fits: nearby tiles then share identical windows
     #    and the kernel loads/stores each shared window once per run;
-    # 2. fine anchor — min snapped to the (8, 128) DMA alignment;
-    # 3. island seams (footprint exceeds the window) — centered on the
-    #    median so the majority side stays in-window.
-    def plan_axis(i0, size, region, align, lo_lim=0, hi_lim=None):
-        hi_lim = size if hi_lim is None else hi_lim
-        lo = np.min(np.where(valid, i0, size - 1), axis=1)
-        med = np.nanmedian(
-            np.where(valid, i0.astype(np.float64), np.nan), axis=1)
-        med = np.nan_to_num(med, nan=float(lo_lim))
-        hi = np.max(np.where(valid, i0, 0), axis=1)
+    # 2. fine anchor — min snapped to the (8, 128) DMA alignment.
+    # The fit test is exact against the chosen origin: the window must cover
+    # the i1 corners too (max i0 + 1 < origin + region).
+    def fit_axis(lo, hi, region, align):
         coarse = max(align, (region // 2 // align) * align)
-        o_coarse = (lo // coarse) * coarse
-        # the in-window test is i < o + region and the i1 corner is i0 + 1
+        o_coarse = (np.maximum(lo, 0) // coarse) * coarse
         fits_coarse = (hi - o_coarse) <= (region - 2)
-        fits_fine = (hi - lo) <= (region - align - 2)
-        o_fine = (lo // align) * align
-        o_med = ((np.maximum(med - region // 2, 0)).astype(np.int64)
-                 // align) * align
-        o = np.where(fits_coarse, o_coarse, np.where(fits_fine, o_fine, o_med))
-        return np.clip(o, lo_lim, max(hi_lim - region, lo_lim)).astype(np.int32)
+        o_fine = (np.maximum(lo, 0) // align) * align
+        fits_fine = (hi - o_fine) <= (region - 2)
+        return (np.where(fits_coarse, o_coarse, o_fine).astype(np.int64),
+                fits_coarse | fits_fine)
 
-    import warnings
+    oy_fit, fy = fit_axis(lo_y, hi_y, region_h, ALIGN_H)
+    ox_fit, fx = fit_axis(lo_x, hi_x, region_w, ALIGN_W)
+    fits = alive & fy & fx
 
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", RuntimeWarning)
-        oy = plan_axis(iy0, tex_h, region_h, ALIGN_H, r0, r1)
-        ox = plan_axis(ix0, tex_w, region_w, ALIGN_W)
+    # per-pixel entry labels (0 for fitting tiles) + per-tile entry lists;
+    # fitting tiles (the vast majority) are planned fully vectorized, only
+    # seam tiles run the per-tile partition loop
+    labels = np.where(valid, 0, -1).astype(np.int32)
+    win_oy = np.full((n_tiles, tile_px), -(10 ** 6), np.int64)
+    win_ox = np.full((n_tiles, tile_px), -(10 ** 6), np.int64)
 
-    def in_window(iy, ix, wy, wx):
-        return ((iy >= wy[:, None]) & (iy < wy[:, None] + region_h)
-                & (ix >= wx[:, None]) & (ix < wx[:, None] + region_w) & valid)
+    fit_ids = np.nonzero(fits)[0]
+    fb = np.clip((lo_y[fit_ids] + hi_y[fit_ids]) // 2 // band_h,
+                 0, n_bands - 1).astype(np.int64)
+    r0v = fb * band_h
+    f_oy = np.clip(oy_fit[fit_ids], r0v,
+                   np.maximum(r0v + band_h - region_h, r0v)).astype(np.int32)
+    f_ox = np.clip(ox_fit[fit_ids], 0,
+                   max(tex_w - region_w, 0)).astype(np.int32)
+    win_oy[fit_ids] = np.where(valid[fit_ids], f_oy[:, None], -(10 ** 6))
+    win_ox[fit_ids] = np.where(valid[fit_ids], f_ox[:, None], -(10 ** 6))
+
+    e_tile = [fit_ids.astype(np.int32)]
+    e_sub = [np.zeros(len(fit_ids), np.int32)]
+    e_oy = [f_oy]
+    e_ox = [f_ox]
+    e_band = [fb.astype(np.int32)]
+    e_salive = [wm[fit_ids].any(axis=1)]
+
+    for t in np.nonzero(alive & ~fits)[0]:
+        labs, groups = _tile_partition(iy0[t], ix0[t], valid[t],
+                                       region_h, region_w)
+        labels[t] = np.where(valid[t], labs, -1)
+        for gi, (y0, y1, x0, x1) in enumerate(groups):
+            b = int(np.clip((y0 + y1) // 2 // band_h, 0, n_bands - 1))
+            r0 = b * band_h
+            oy_c = int(np.clip((y0 // ALIGN_H) * ALIGN_H, r0,
+                               max(r0 + band_h - region_h, r0)))
+            ox_c = int(np.clip((x0 // ALIGN_W) * ALIGN_W, 0,
+                               max(tex_w - region_w, 0)))
+            sel = labs == gi
+            win_oy[t][sel] = oy_c
+            win_ox[t][sel] = ox_c
+            e_tile.append(np.asarray([t], np.int32))
+            e_sub.append(np.asarray([gi], np.int32))
+            e_oy.append(np.asarray([oy_c], np.int32))
+            e_ox.append(np.asarray([ox_c], np.int32))
+            e_band.append(np.asarray([b], np.int32))
+            e_salive.append(np.asarray([bool(np.any(wm[t] & sel))]))
+
+    e_tile = np.concatenate(e_tile).astype(np.int32)
+    e_sub = np.concatenate(e_sub).astype(np.int32)
+    e_oy = np.concatenate(e_oy).astype(np.int32)
+    e_ox = np.concatenate(e_ox).astype(np.int32)
+    e_band = np.concatenate(e_band).astype(np.int32)
+    e_salive = np.concatenate(e_salive).astype(bool)
 
     corners = [
         (iy0, ix0, (1 - wy1) * (1 - wx1)),
@@ -298,25 +409,6 @@ def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
         (iy1, ix0, wy1 * (1 - wx1)),
         (iy1, ix1, wy1 * wx1),
     ]
-
-    # secondary window over the corner contributions the primary missed
-    out1 = [valid & ~in_window(iy, ix, oy, ox) for iy, ix, _ in corners]
-    any_out = np.zeros((n_tiles, tile_px), bool)
-    lo_y = np.full((n_tiles,), tex_h - 1, np.int64)
-    lo_x = np.full((n_tiles,), tex_w - 1, np.int64)
-    for (iy, ix, _), o in zip(corners, out1):
-        any_out |= o
-        lo_y = np.minimum(lo_y, np.min(np.where(o, iy, tex_h - 1), axis=1))
-        lo_x = np.minimum(lo_x, np.min(np.where(o, ix, tex_w - 1), axis=1))
-    has2 = any_out.any(axis=1).astype(np.int32)
-    oy2 = np.clip((lo_y // ALIGN_H) * ALIGN_H, r0,
-                  max(r1 - region_h, r0)).astype(np.int32)
-    ox2 = np.clip((lo_x // ALIGN_W) * ALIGN_W, 0,
-                  max(tex_w - region_w, 0)).astype(np.int32)
-    oy2 = np.where(has2 > 0, oy2, 0).astype(np.int32)
-    ox2 = np.where(has2 > 0, ox2, 0).astype(np.int32)
-
-    # residuals: valid contributions outside both windows
     hh = -(-h // tile_h) * tile_h
     ww = -(-w // tile_w) * tile_w
     t_rows = np.arange(n_tiles) // (ww // tile_w)
@@ -327,239 +419,174 @@ def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
     pix_flat = py_img * w + px_img
 
     res_t, res_p, res_w = [], [], []
-    for (iy, ix, wgt), o1 in zip(corners, out1):
-        out = o1 & ~in_window(iy, ix, oy2, ox2)
+    for iy, ix, wgt in corners:
+        out = valid & ~((iy >= win_oy) & (iy < win_oy + region_h)
+                        & (ix >= win_ox) & (ix < win_ox + region_w))
         if out.any():
             sel = np.nonzero(out)
-            res_t.append((iy[sel] * tex_w + ix[sel]).astype(np.int32))
+            res_t.append((iy[sel].astype(np.int64) * tex_w
+                          + ix[sel]).astype(np.int32))
             res_p.append(pix_flat[sel].astype(np.int32))
             res_w.append(wgt[sel].astype(np.float32))
     res_texel = np.concatenate(res_t) if res_t else np.zeros((0,), np.int32)
     res_pixel = np.concatenate(res_p) if res_p else np.zeros((0,), np.int32)
     res_weight = np.concatenate(res_w) if res_w else np.zeros((0,), np.float32)
 
-    return dict(n_tiles=n_tiles, oy=oy, ox=ox, oy2=oy2, ox2=ox2, has2=has2,
-                alive=alive, s_alive=s_alive, res_texel=res_texel,
-                res_pixel=res_pixel, res_weight=res_weight)
+    return dict(
+        n_tiles=n_tiles, alive=alive,
+        labels_img=_untile_labels(labels, h, w, tile_h, tile_w
+                                  ).astype(np.int8),
+        e_tile=e_tile, e_sub=e_sub, e_oy=e_oy, e_ox=e_ox, e_band=e_band,
+        e_salive=e_salive,
+        res_texel=res_texel, res_pixel=res_pixel, res_weight=res_weight)
 
 
-def _order_and_runs(p, for_splat):
-    """Sort tiles by window; compute load/store flags over window runs.
-
-    Gather: all tiles (dead ones inert), seams handled via a second scratch
-    so they don't break runs. Splat: live tiles only; seam tiles are
-    singleton runs (their secondary pass reuses the window scratch, so the
-    run must be closed around them).
-    """
+def _gather_entries(p, band, r0):
+    """Build one (view, band) gather schedule: every tile appears (inert when
+    this band owns none of its entries), entries of one tile consecutive,
+    tiles sorted by their first entry's window so runs can share loads."""
     n = p["n_tiles"]
-    alive = p["s_alive"] if for_splat else p["alive"]
-    has2 = p["has2"]
-    oy, ox = p["oy"], p["ox"]
-    if for_splat:
-        ids = np.nonzero(alive)[0]
-        order = ids[np.lexsort((ox[ids], oy[ids], has2[ids] > 0))]
-    else:
-        order = np.lexsort((ox, oy, ~alive))  # live tiles first, by window
-    o_oy, o_ox = oy[order], ox[order]
-    o_alive = alive[order].astype(np.int32)
-    o_has2 = (has2[order] * o_alive).astype(np.int32)
+    own = p["e_band"] == band
+    e_tile, e_sub = p["e_tile"][own], p["e_sub"][own]
+    e_oy, e_ox = p["e_oy"][own], p["e_ox"][own]
+    # entries of one tile sorted by window, tiles keyed by first entry
+    order = np.lexsort((e_sub, e_ox, e_oy))
+    e_tile, e_sub = e_tile[order], e_sub[order]
+    e_oy, e_ox = e_oy[order], e_ox[order]
+    first = {}
+    by_tile = {}
+    for k in range(len(e_tile)):
+        t = int(e_tile[k])
+        by_tile.setdefault(t, []).append(k)
+        if t not in first:
+            first[t] = (int(e_oy[k]), int(e_ox[k]))
+    live = sorted(by_tile.keys(), key=lambda t: first[t])
+    inert = [t for t in range(n) if t not in by_tile]
 
+    ids, oy, ox, sub, load, acc, alive = [], [], [], [], [], [], []
+    prev_win = None
+    for t in live:
+        for j, k in enumerate(by_tile[t]):
+            win = (int(e_oy[k]), int(e_ox[k]))
+            ids.append(t)
+            oy.append(win[0])
+            ox.append(int(e_ox[k]))
+            sub.append(int(e_sub[k]))
+            load.append(1 if win != prev_win else 0)
+            acc.append(1 if j > 0 else 0)
+            alive.append(1)
+            prev_win = win
+    for t in inert:
+        ids.append(t)
+        oy.append(r0)
+        ox.append(0)
+        sub.append(0)
+        load.append(0)
+        acc.append(0)
+        alive.append(0)
+        prev_win = None
+    return dict(ids=ids, oy=oy, ox=ox, sub=sub, load=load, acc=acc,
+                alive=alive)
+
+
+def _splat_entries(p, band, r0):
+    """Build one (view, band) splat schedule: this band's gradient-live
+    entries sorted by window; load at run starts, store at run ends."""
+    own = (p["e_band"] == band) & p["e_salive"]
+    e_tile, e_sub = p["e_tile"][own], p["e_sub"][own]
+    e_oy, e_ox = p["e_oy"][own], p["e_ox"][own]
+    order = np.lexsort((e_sub, e_tile, e_ox, e_oy))
     m = len(order)
+    ids = e_tile[order].astype(np.int32)
+    sub = e_sub[order].astype(np.int32)
+    oy = e_oy[order].astype(np.int32)
+    ox = e_ox[order].astype(np.int32)
     load = np.zeros(m, np.int32)
     store = np.zeros(m, np.int32)
-    last = None
-    last_idx = -1
     for i in range(m):
-        if not o_alive[i]:
-            continue
-        singleton = for_splat and o_has2[i]
-        if singleton or last is None or (o_oy[i], o_ox[i]) != last:
+        if i == 0 or (oy[i], ox[i]) != (oy[i - 1], ox[i - 1]):
             load[i] = 1
-            if for_splat and last_idx >= 0:
-                store[last_idx] = 1
-            last = None if singleton else (o_oy[i], o_ox[i])
-        if singleton:
-            store[i] = 1
-            last_idx = -1
-        else:
-            last_idx = i
-    if for_splat and last_idx >= 0:
-        store[last_idx] = 1
-    return dict(ids=order.astype(np.int32), oy=o_oy, ox=o_ox, load=load,
-                store=store, alive=o_alive, oy2=p["oy2"][order],
-                ox2=p["ox2"][order], has2=o_has2)
+            if i > 0:
+                store[i - 1] = 1
+    if m:
+        store[m - 1] = 1
+    return dict(ids=ids, oy=oy, ox=ox, sub=sub, load=load, store=store,
+                alive=np.ones(m, np.int32))
 
 
-def plan_arrays_for_views(uv_views, tex_h, tex_w, cap=None, region_h=None,
-                          region_w=None, tile_h=TILE_H, tile_w=TILE_W,
-                          weight_masks=None) -> PlanArrays:
-    """Batched plan for ``uv_views [V, H, W, 2]`` (numpy).
+def _pad_entry_dict(d, n, benign_oy, pad_acc):
+    """Pad a schedule dict to length n with inert entries. Gather padding
+    repeats the last tile id with acc=1 (kernel: no write, out block
+    unchanged); splat padding is alive=0 (kernel skips entirely)."""
+    m = len(d["ids"])
+    out = {}
+    last_id = int(d["ids"][m - 1]) if m else 0
+    for k, v in d.items():
+        a = np.zeros((n,), np.int32)
+        a[:m] = np.asarray(v, np.int32)
+        if k == "ids":
+            a[m:] = last_id
+        elif k == "oy":
+            a[m:] = benign_oy
+        elif k == "acc" and pad_acc:
+            a[m:] = 1
+        out[k] = a
+    return out
 
-    Args:
-        weight_masks: optional ``[V, H, W]`` bool — True where the pixel's
-            gradient may be nonzero (see data/grad_masks.py). Tiles that are
-            False everywhere are dropped from the splat schedule.
-        region_h/w: override the automatic window sizing (tests).
-    """
+
+def _assemble_plan(uv_views, tex_h, tex_w, n_bands, cap, region_h, region_w,
+                   tile_h, tile_w, weight_masks) -> PlanArrays:
     uv_views = np.asarray(uv_views)
     nv = uv_views.shape[0]
-    if region_h is None or region_w is None:
-        rh, rw = choose_region(uv_views, tex_h, tex_w, tile_h, tile_w)
-        region_h, region_w = (region_h or rh), (region_w or rw)
-    region_h, region_w = effective_region(tex_h, tex_w, region_h, region_w)
-
+    band_h = tex_h // n_bands
     views = [_plan_view(uv_views[v], tex_h, tex_w, tile_h, tile_w,
                         region_h, region_w,
-                        None if weight_masks is None else weight_masks[v])
+                        None if weight_masks is None else weight_masks[v],
+                        n_bands=n_bands)
              for v in range(nv)]
-    gs = [_order_and_runs(p, for_splat=False) for p in views]
-    ss = [_order_and_runs(p, for_splat=True) for p in views]
 
-    # pad splat schedules to a common bucket (schedule arrays must be
-    # rectangular; padding entries are inert: alive=0, no load/store)
-    s_len = max(1, max(len(s["ids"]) for s in ss))
-    s_len = _roundup(s_len, _SPLAT_BUCKET)
-
-    def pad(a, n, fill=0):
-        out = np.full((n,), fill, a.dtype if a.size else np.int32)
-        out[:len(a)] = a
-        return out
-
-    def stack(key, seqs, n=None):
-        return np.stack([pad(s[key], n or len(s[key])) for s in seqs])
-
-    g = {k: np.stack([np.asarray(s[k], np.int32) for s in gs])
-         for k in ("ids", "oy", "ox", "load", "alive", "oy2", "ox2", "has2")}
-    s = {k: np.stack([pad(np.asarray(s_[k], np.int32), s_len) for s_ in ss])
-         for k in ("ids", "oy", "ox", "load", "store", "alive", "oy2", "ox2",
-                   "has2")}
-
-    # residuals padded to a power-of-two cap (stable across similar batches)
-    counts = [len(p["res_texel"]) for p in views]
-    if cap is None:
-        cap = max(1, max(counts))
-        cap = int(2 ** np.ceil(np.log2(cap)))
-    rt = np.zeros((nv, cap), np.int32)
-    rp = np.zeros((nv, cap), np.int32)
-    rw_ = np.zeros((nv, cap), np.float32)
-    for i, p in enumerate(views):
-        n = len(p["res_texel"])
-        if n > cap:
-            raise ValueError(f"residual cap {cap} < count {n}")
-        rt[i, :n] = p["res_texel"]
-        rp[i, :n] = p["res_pixel"]
-        rw_[i, :n] = p["res_weight"]
-
-    return PlanArrays(
-        g_ids=g["ids"], g_oy=g["oy"], g_ox=g["ox"], g_load=g["load"],
-        g_alive=g["alive"], g_oy2=g["oy2"], g_ox2=g["ox2"], g_has2=g["has2"],
-        s_ids=s["ids"], s_oy=s["oy"], s_ox=s["ox"], s_load=s["load"],
-        s_store=s["store"], s_alive=s["alive"], s_oy2=s["oy2"],
-        s_ox2=s["ox2"], s_has2=s["has2"],
-        res_texel=rt, res_pixel=rp, res_weight=rw_,
-        tile_h=tile_h, tile_w=tile_w,
-        region_h=int(region_h), region_w=int(region_w))
-
-
-def plan_arrays_banded(uv_views, tex_h, tex_w, n_bands, cap=None,
-                       tile_h=TILE_H, tile_w=TILE_W,
-                       weight_masks=None) -> PlanArrays:
-    """Atlas-sharded plan: the atlas is split into ``n_bands`` row bands
-    (chip d owns rows [d*H/D, (d+1)*H/D)); every schedule/residual array
-    gains a leading band axis so a shard_map over the atlas axis slices it.
-
-    Windows never cross a band (they are clamped into the owner band and the
-    overflow rides the secondary-window / residual machinery), so no halo
-    exchange is needed in the hot path: each chip gathers/splats only its
-    band, partial per-pixel gathers are psum'd, and residual contributions
-    are routed to the band that owns their texel. Origins and residual texel
-    indices are band-LOCAL (the chip's atlas slice is its own array).
-    """
-    uv_views = np.asarray(uv_views)
-    nv = uv_views.shape[0]
-    assert tex_h % n_bands == 0 and (tex_h // n_bands) % ALIGN_H == 0, \
-        (tex_h, n_bands)
-    band_h = tex_h // n_bands
-    region_h, region_w = choose_region(uv_views, tex_h, tex_w, tile_h,
-                                       tile_w, max_region_h=band_h)
-
-    # tile ownership: the band holding the footprint's median row
-    owners = []
-    import warnings
-
-    for v in range(nv):
-        uvt = tile_uv(np.asarray(uv_views[v], np.float32), tile_h, tile_w)
-        iy0, _, _, _, _, _ = _corner_data(uvt, tex_h, tex_w)
-        valid = ((uvt[..., 0] > -5.0)
-                 & ~((uvt[..., 0] == -1.0) & (uvt[..., 1] == -1.0)))
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", RuntimeWarning)
-            med = np.nanmedian(
-                np.where(valid, iy0.astype(np.float64), np.nan), axis=1)
-        med = np.nan_to_num(med, nan=0.0)
-        owners.append(np.clip(med.astype(np.int64) // band_h, 0,
-                              n_bands - 1))
-
-    per_band = []  # [band][view] -> (plan dict, gather order, splat order)
+    gk = ("ids", "oy", "ox", "sub", "load", "acc", "alive")
+    sk = ("ids", "oy", "ox", "sub", "load", "store", "alive")
+    gs = [[_gather_entries(views[v], b, b * band_h) for v in range(nv)]
+          for b in range(n_bands)]
+    ss = [[_splat_entries(views[v], b, b * band_h) for v in range(nv)]
+          for b in range(n_bands)]
+    g_len = _roundup(max(len(g["ids"]) for row in gs for g in row),
+                     _GATHER_BUCKET)
+    s_len = _roundup(max(1, max(len(s["ids"]) for row in ss for s in row)),
+                     _SPLAT_BUCKET)
     for b in range(n_bands):
-        r0, r1 = b * band_h, (b + 1) * band_h
-        rows = []
-        for v in range(nv):
-            p = _plan_view(uv_views[v], tex_h, tex_w, tile_h, tile_w,
-                           region_h, region_w,
-                           None if weight_masks is None else weight_masks[v],
-                           row_range=(r0, r1), owner_mask=owners[v] == b)
-            rows.append((p, _order_and_runs(p, for_splat=False),
-                         _order_and_runs(p, for_splat=True)))
-        per_band.append(rows)
+        r0 = b * band_h
+        gs[b] = [_pad_entry_dict(g, g_len, r0, pad_acc=True) for g in gs[b]]
+        ss[b] = [_pad_entry_dict(s, s_len, r0, pad_acc=False) for s in ss[b]]
 
-    # re-bucket residuals by the band OWNING the texel (scatter locality),
-    # independent of which band's windows produced them
+    # residuals re-bucketed by the band OWNING the texel (scatter locality);
+    # texel indices become band-local in banded mode
     res = [[([], [], []) for _ in range(nv)] for _ in range(n_bands)]
-    for b in range(n_bands):
-        for v in range(nv):
-            p = per_band[b][v][0]
-            if not len(p["res_texel"]):
-                continue
+    for v, p in enumerate(views):
+        if not len(p["res_texel"]):
+            continue
+        if n_bands == 1:
+            res[0][v][0].append(p["res_texel"])
+            res[0][v][1].append(p["res_pixel"])
+            res[0][v][2].append(p["res_weight"])
+        else:
             tband = (p["res_texel"] // tex_w) // band_h
             for tb in np.unique(tband):
                 sel = tband == tb
                 res[tb][v][0].append(p["res_texel"][sel]
-                                     - tb * band_h * tex_w)  # band-local
+                                     - tb * band_h * tex_w)
                 res[tb][v][1].append(p["res_pixel"][sel])
                 res[tb][v][2].append(p["res_weight"][sel])
-    counts = [len(np.concatenate(res[b][v][0])) if res[b][v][0] else 0
+    counts = [sum(len(a) for a in res[b][v][0])
               for b in range(n_bands) for v in range(nv)]
     if cap is None:
         cap = max(1, max(counts))
         cap = int(2 ** np.ceil(np.log2(cap)))
-    assert max(counts) <= cap, (max(counts), cap)
+    if max(counts) > cap:
+        raise ValueError(f"residual cap {cap} < count {max(counts)}")
 
-    s_len = max(1, max(len(per_band[b][v][2]["ids"])
-                       for b in range(n_bands) for v in range(nv)))
-    s_len = _roundup(s_len, _SPLAT_BUCKET)
-
-    def pad(a, n):
-        out = np.zeros((n,), np.int32)
-        out[:len(a)] = a
-        return out
-
-    def assemble_band(b, r0):
-        gs = [per_band[b][v][1] for v in range(nv)]
-        ss = [per_band[b][v][2] for v in range(nv)]
-        g = {k: np.stack([np.asarray(s[k], np.int32) for s in gs])
-             for k in ("ids", "oy", "ox", "load", "alive", "oy2", "ox2",
-                       "has2")}
-        s = {k: np.stack([pad(np.asarray(s_[k], np.int32), s_len)
-                          for s_ in ss])
-             for k in ("ids", "oy", "ox", "load", "store", "alive", "oy2",
-                       "ox2", "has2")}
-        # window rows stay GLOBAL (the uv->texel math needs them); the
-        # kernels subtract the chip's band offset for the DMA. Dead entries
-        # get in-band benign origins so the subtraction stays aligned >= 0.
-        for d in (g, s):
-            d["oy"] = np.where(d["alive"] > 0, d["oy"], r0).astype(np.int32)
-            d["oy2"] = np.maximum(d["oy2"], r0).astype(np.int32)
+    def res_band(b):
         rt = np.zeros((nv, cap), np.int32)
         rp = np.zeros((nv, cap), np.int32)
         rw_ = np.zeros((nv, cap), np.float32)
@@ -569,22 +596,82 @@ def plan_arrays_banded(uv_views, tex_h, tex_w, n_bands, cap=None,
                 rt[v, :len(t)] = t
                 rp[v, :len(t)] = np.concatenate(res[b][v][1])
                 rw_[v, :len(t)] = np.concatenate(res[b][v][2])
-        return g, s, rt, rp, rw_
+        return rt, rp, rw_
 
-    bands = [assemble_band(b, b * band_h) for b in range(n_bands)]
-    gk = ("ids", "oy", "ox", "load", "alive", "oy2", "ox2", "has2")
-    sk = ("ids", "oy", "ox", "load", "store", "alive", "oy2", "ox2", "has2")
-    g = {k: np.stack([bb[0][k] for bb in bands]) for k in gk}
-    s = {k: np.stack([bb[1][k] for bb in bands]) for k in sk}
+    def stack_bands(rows, keys):
+        return {k: np.stack([np.stack([np.asarray(d[k], np.int32)
+                                       for d in rows[b]])
+                             for b in range(n_bands)])
+                for k in keys}
+
+    g = stack_bands(gs, gk)
+    s = stack_bands(ss, sk)
+    rs = [res_band(b) for b in range(n_bands)]
+    labels = np.stack([p["labels_img"] for p in views])  # [V, H, W]
+    if n_bands == 1:
+        g = {k: v[0] for k, v in g.items()}
+        s = {k: v[0] for k, v in s.items()}
+        rt, rp, rw_ = rs[0]
+    else:
+        rt = np.stack([r[0] for r in rs])
+        rp = np.stack([r[1] for r in rs])
+        rw_ = np.stack([r[2] for r in rs])
+        # one tiled copy of the labels per band: every schedule leaf then has
+        # a leading band axis and shard_map specs stay uniform
+        labels = np.repeat(labels[None], n_bands, axis=0)
+
     return PlanArrays(
-        g_ids=g["ids"], g_oy=g["oy"], g_ox=g["ox"], g_load=g["load"],
-        g_alive=g["alive"], g_oy2=g["oy2"], g_ox2=g["ox2"], g_has2=g["has2"],
-        s_ids=s["ids"], s_oy=s["oy"], s_ox=s["ox"], s_load=s["load"],
-        s_store=s["store"], s_alive=s["alive"], s_oy2=s["oy2"],
-        s_ox2=s["ox2"], s_has2=s["has2"],
-        res_texel=np.stack([bb[2] for bb in bands]),
-        res_pixel=np.stack([bb[3] for bb in bands]),
-        res_weight=np.stack([bb[4] for bb in bands]),
+        labels=labels,
+        g_ids=g["ids"], g_oy=g["oy"], g_ox=g["ox"], g_sub=g["sub"],
+        g_load=g["load"], g_acc=g["acc"], g_alive=g["alive"],
+        s_ids=s["ids"], s_oy=s["oy"], s_ox=s["ox"], s_sub=s["sub"],
+        s_load=s["load"], s_store=s["store"], s_alive=s["alive"],
+        res_texel=rt, res_pixel=rp, res_weight=rw_,
         tile_h=tile_h, tile_w=tile_w,
         region_h=int(region_h), region_w=int(region_w),
-        tex_h_global=int(tex_h))
+        tex_h_global=int(tex_h) if n_bands > 1 else 0)
+
+
+def plan_arrays_for_views(uv_views, tex_h, tex_w, cap=None, region_h=None,
+                          region_w=None, tile_h=TILE_H, tile_w=TILE_W,
+                          weight_masks=None) -> PlanArrays:
+    """Batched plan for ``uv_views [V, H, W, 2]`` (numpy).
+
+    Args:
+        weight_masks: optional ``[V, H, W]`` bool — True where the pixel's
+            gradient may be nonzero (see data/grad_masks.py). Entries that
+            are False everywhere are dropped from the splat schedule.
+        region_h/w: override the automatic window sizing (tests).
+    """
+    uv_views = np.asarray(uv_views)
+    if region_h is None or region_w is None:
+        rh, rw = choose_region(uv_views, tex_h, tex_w, tile_h, tile_w)
+        region_h, region_w = (region_h or rh), (region_w or rw)
+    region_h, region_w = effective_region(tex_h, tex_w, region_h, region_w)
+    return _assemble_plan(uv_views, tex_h, tex_w, 1, cap, region_h, region_w,
+                          tile_h, tile_w, weight_masks)
+
+
+def plan_arrays_banded(uv_views, tex_h, tex_w, n_bands, cap=None,
+                       tile_h=TILE_H, tile_w=TILE_W,
+                       weight_masks=None) -> PlanArrays:
+    """Atlas-sharded plan: the atlas is split into ``n_bands`` row bands
+    (chip d owns rows [d*H/D, (d+1)*H/D)); every schedule/residual array
+    gains a leading band axis so a shard_map over the atlas axis slices it.
+
+    Windows never cross a band (entries are owned by the band holding their
+    footprint's center and clamped into it; the overflow rides the residual
+    machinery), so no halo exchange is needed in the hot path: each chip
+    gathers/splats only its band, partial per-pixel gathers are psum'd, and
+    residual contributions are routed to the band that owns their texel.
+    Window origins stay GLOBAL atlas rows (the kernels subtract the chip's
+    band offset for the DMA); residual texel indices are band-LOCAL.
+    """
+    uv_views = np.asarray(uv_views)
+    assert tex_h % n_bands == 0 and (tex_h // n_bands) % ALIGN_H == 0, \
+        (tex_h, n_bands)
+    band_h = tex_h // n_bands
+    region_h, region_w = choose_region(uv_views, tex_h, tex_w, tile_h,
+                                       tile_w, max_region_h=band_h)
+    return _assemble_plan(uv_views, tex_h, tex_w, n_bands, cap, region_h,
+                          region_w, tile_h, tile_w, weight_masks)

