@@ -17,10 +17,13 @@ via :func:`convert_torch_state_dict`, stored as an ``.npz``.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from stylemesh_tpu.ops.conv_pallas import conv3x3_frozen
 
 # (name, in_channels, out_channels) for the 13 convs of VGG-16 in trunk order.
 VGG_CONVS = [
@@ -110,6 +113,19 @@ def load_vgg_params(path, dtype=jnp.float32):
 
 
 def _conv3x3(x, kernel, bias, precision):
+    # Pallas conv path (ops/conv_pallas.py): an im2col matmul with a
+    # 9*Cin contraction. Measured on v5e it only MATCHES XLA's conv lowering
+    # (tools/conv_kernel_check.py: 17.3 vs 18.8 ms fwd at 64ch, slightly
+    # slower fwd+bwd) — the 64-lane output keeps the MXU half idle either
+    # way — so it is opt-in (STYLEMESH_FAST_CONV=1) until the packed-pixel
+    # variant lands. Gated to the exact trunk shape it implements (bf16,
+    # DEFAULT precision, Cin >= 64 — a 3-wide minor dim can't DMA on Mosaic).
+    if (x.dtype == jnp.bfloat16 and kernel.dtype == jnp.bfloat16
+            and precision in (None, jax.lax.Precision.DEFAULT)
+            and x.shape[-1] >= 64
+            and os.environ.get("STYLEMESH_FAST_CONV", "0") == "1"):
+        out = conv3x3_frozen(x, kernel, jax.default_backend() == "cpu")
+        return out + bias.astype(out.dtype)
     # No preferred_element_type: for bf16 inputs the MXU accumulates in fp32
     # internally and a f32-preferred output breaks the conv transpose rule
     # (f32 cotangent vs bf16 kernel); for f32 inputs the output is f32 anyway.
@@ -123,13 +139,53 @@ def _conv3x3(x, kernel, bias, precision):
     return out + bias.astype(out.dtype)
 
 
-def _maxpool2(x):
+def _maxpool2_raw(x):
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 2, 2, 1),
         window_strides=(1, 2, 2, 1),
         padding="VALID",
     )
+
+
+@jax.custom_vjp
+def _maxpool2(x):
+    """2x2/2 max pool whose backward avoids XLA's SelectAndScatter.
+
+    SelectAndScatter costs ~2x the whole pool forward on TPU; the VJP here
+    recomputes the argmax as "first window element equal to the max" (exactly
+    torch MaxPool2d's tie rule — its scan keeps the first strict maximum) and
+    routes the cotangent with elementwise ops only.
+    """
+    return _maxpool2_raw(x)
+
+
+def _maxpool2_fwd(x):
+    y = _maxpool2_raw(x)
+    return y, (x, y)
+
+
+def _maxpool2_bwd(res, g):
+    x, y = res
+    b, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    xe = x[:, :h2 * 2, :w2 * 2, :].reshape(b, h2, 2, w2, 2, c)
+    quads = [xe[:, :, dy, :, dx, :] for dy in range(2) for dx in range(2)]
+    firsts = []
+    none_before = None
+    for q in quads:
+        m = (q == y).astype(g.dtype)
+        firsts.append(m if none_before is None else m * none_before)
+        none_before = (1.0 - m) if none_before is None else none_before * (1.0 - m)
+    dq = jnp.stack([f * g for f in firsts], axis=3)  # [b,h2,w2,4,c]
+    dxe = dq.reshape(b, h2, w2, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    dx = dxe.reshape(b, h2 * 2, w2 * 2, c)
+    if h2 * 2 != h or w2 * 2 != w:
+        dx = jnp.pad(dx, ((0, 0), (0, h - h2 * 2), (0, w - w2 * 2), (0, 0)))
+    return (dx,)
+
+
+_maxpool2.defvjp(_maxpool2_fwd, _maxpool2_bwd)
 
 
 def _avgpool2(x):
