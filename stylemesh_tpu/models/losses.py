@@ -23,6 +23,7 @@ the jitted step (:273-286 in the reference).
 """
 
 import dataclasses
+import os
 from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -30,6 +31,7 @@ import jax.numpy as jnp
 
 from stylemesh_tpu.models.vgg import vgg_features
 from stylemesh_tpu.ops.gram import gram_matrix, masked_gram, masked_mse
+from stylemesh_tpu.ops import gram_pallas
 from stylemesh_tpu.ops.pyramid import image_pyramid
 from stylemesh_tpu.ops.resize import resize_bilinear, resize_nearest
 
@@ -163,6 +165,13 @@ class ContentAndStyleLoss:
         masks_failed = [dict() for _ in range(num_levels)]
         content_targets = [dict() for _ in range(num_levels)]
         factors = [dict() for _ in range(num_levels)]
+        # fused-gram constants (ops/gram_pallas.py): per style layer at a
+        # large-enough resolution, the stacked mask variants in the kernel's
+        # padded [K, V, P] layout + their pixel counts.
+        gram_masks_t = [dict() for _ in range(num_levels)]
+        gram_counts = [dict() for _ in range(num_levels)]
+        use_fused = (self.compute_dtype == jnp.bfloat16
+                     and os.environ.get("STYLEMESH_FAST_GRAM", "1") != "0")
 
         for i in range(num_levels):
             mask = pyramid_masks[i].astype(jnp.float32)
@@ -171,6 +180,7 @@ class ContentAndStyleLoss:
                                      hw) < self.angle_threshold
             passed = passed.astype(jnp.float32)
             by_hw = {}
+            gm_by_hw = {}
             for k in all_layers:
                 fhw = self._layer_hw(k, hw)
                 if fhw not in by_hw:  # r41/r42 share a resolution
@@ -189,6 +199,19 @@ class ContentAndStyleLoss:
                 if k in self.content_layers:
                     content_targets[i][k] = resize_bilinear(
                         content_encs[k].astype(jnp.float32), fhw).astype(store)
+                if (use_fused and k in self.style_layers
+                        and fhw[0] * fhw[1] >= gram_pallas.MIN_PX):
+                    if fhw not in gm_by_hw:
+                        if self.style_pyramid_mode == "multi":
+                            stack = jnp.stack([mp[..., 0], mf[..., 0]])
+                        else:
+                            stack = jnp.stack([m[..., 0]])
+                        gm_by_hw[fhw] = (
+                            gram_pallas.stack_masks(stack),
+                            jnp.sum(stack.astype(jnp.float32)
+                                    .reshape(stack.shape[0], v, -1), axis=2),
+                        )
+                    gram_masks_t[i][k], gram_counts[i][k] = gm_by_hw[fhw]
 
         # --- normalize factors across levels per layer (reference :199-204),
         # guarded against all-empty layers (reference would drop such batches).
@@ -200,7 +223,8 @@ class ContentAndStyleLoss:
 
         return dict(masks=masks, masks_passed=masks_passed,
                     masks_failed=masks_failed,
-                    content_targets=content_targets, factors=factors)
+                    content_targets=content_targets, factors=factors,
+                    gram_masks_t=gram_masks_t, gram_counts=gram_counts)
 
     def __call__(self, vgg_params, style_targets: StyleTargets,
                  pred_pyramid: Sequence[jax.Array], target_content: jax.Array,
@@ -249,14 +273,35 @@ class ContentAndStyleLoss:
         content_targets = aux["content_targets"]
         factors = aux["factors"]
 
-        # --- per (level, layer) prediction Grams (batched over views)
+        # --- per (level, layer) prediction Grams (batched over views).
+        # Large layers go through the fused Pallas kernel (one feature read
+        # for every mask variant, no F*m materializations — see
+        # ops/gram_pallas.py); small layers keep the XLA einsum.
+        gram_masks_t = aux.get("gram_masks_t") or [dict()] * num_levels
+        gram_counts = aux.get("gram_counts") or [dict()] * num_levels
+        interpret = jax.default_backend() == "cpu"
         y_hat_grams = []
+        failed_grams = [dict() for _ in range(num_levels)]
         for i in range(num_levels):
             g = {}
             for k in self.style_layers:
-                m = (masks_passed[i][k] if self.style_pyramid_mode == "multi"
-                     else masks[i][k])
-                g[k] = masked_gram(pred_encs[i][k], m)
+                if k in gram_masks_t[i]:
+                    sums = gram_pallas.fused_masked_grams(
+                        pred_encs[i][k], gram_masks_t[i][k],
+                        interpret)  # [V, K, C, C]
+                    counts = gram_counts[i][k]  # [K, V]
+                    denom = jnp.where(counts > 0, counts, 1.0)
+                    if self.style_pyramid_mode == "multi":
+                        g[k] = sums[:, 0] / denom[0][:, None, None]
+                        failed_grams[i][k] = (
+                            sums[:, 1] / denom[1][:, None, None])
+                    else:
+                        g[k] = sums[:, 0] / denom[0][:, None, None]
+                else:
+                    m = (masks_passed[i][k]
+                         if self.style_pyramid_mode == "multi"
+                         else masks[i][k])
+                    g[k] = masked_gram(pred_encs[i][k], m)
             y_hat_grams.append(g)
 
         new_cache = gram_cache
@@ -322,8 +367,11 @@ class ContentAndStyleLoss:
                 if self.style_pyramid_mode == "multi":
                     # bad-angle areas are stylized only with the larger style
                     # image (reference :328-333), active only when non-empty.
-                    y_hat_failed = masked_gram(pred_encs[i][k],
-                                               masks_failed[i][k])
+                    if k in failed_grams[i]:
+                        y_hat_failed = failed_grams[i][k]
+                    else:
+                        y_hat_failed = masked_gram(pred_encs[i][k],
+                                                   masks_failed[i][k])
                     has_failed = (jnp.sum(masks_failed[i][k].reshape(v, -1), axis=1)
                                   > 0).astype(jnp.float32)
                     l = l + w * f * has_failed * _mse_gram(y, y_hat_failed)

@@ -149,7 +149,7 @@ def _maxpool2_raw(x):
 
 
 @jax.custom_vjp
-def _maxpool2(x):
+def _maxpool2_fastvjp(x):
     """2x2/2 max pool whose backward avoids XLA's SelectAndScatter.
 
     SelectAndScatter costs ~2x the whole pool forward on TPU; the VJP here
@@ -157,6 +157,12 @@ def _maxpool2(x):
     torch MaxPool2d's tie rule — its scan keeps the first strict maximum) and
     routes the cotangent with elementwise ops only.
     """
+    return _maxpool2_raw(x)
+
+
+def _maxpool2(x):
+    if os.environ.get("STYLEMESH_FAST_POOL", "1") != "0":
+        return _maxpool2_fastvjp(x)
     return _maxpool2_raw(x)
 
 
@@ -185,7 +191,7 @@ def _maxpool2_bwd(res, g):
     return (dx,)
 
 
-_maxpool2.defvjp(_maxpool2_fwd, _maxpool2_bwd)
+_maxpool2_fastvjp.defvjp(_maxpool2_fwd, _maxpool2_bwd)
 
 
 def _avgpool2(x):

@@ -151,3 +151,69 @@ def test_loss_parity_gram_average():
                                    err_msg=f"style step {step}")
         np.testing.assert_allclose(float(c), float(rc), rtol=REL,
                                    err_msg=f"content step {step}")
+
+
+@pytest.mark.parametrize("mode", ["single", "multi"])
+def test_fused_gram_path_matches_xla(mode, monkeypatch):
+    """The bf16 fused-gram path (ops/gram_pallas, interpret mode on CPU)
+    must match the XLA masked-gram path on the same bf16 loss config."""
+    import stylemesh_tpu.ops.gram_pallas as gp
+
+    params, loss, targets, _ = _setup(style_pyramid_mode=mode,
+                                      angle_threshold=45.0)
+    loss_bf16 = ContentAndStyleLoss(
+        style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+        style_weights=STYLE_WEIGHTS, content_weights=(1.0,),
+        angle_threshold=45.0, style_pyramid_mode=mode,
+        gram_mode="current", num_style_levels=5, style_min_size=32,
+        compute_dtype=jnp.bfloat16,
+        precision=__import__("jax").lax.Precision.DEFAULT)
+    targets_bf16 = loss_bf16.set_style_image(params, jnp.asarray(
+        (RNG.random((1, 130, 180, 3)).astype(np.float32) - 0.45) * 255.0))
+    preds, content, masks, angle = _rand_inputs()
+    args = (params, targets_bf16, [jnp.asarray(p) for p in preds],
+            jnp.asarray(content), [jnp.asarray(m) for m in masks],
+            jnp.asarray(angle))
+
+    monkeypatch.setenv("STYLEMESH_FAST_GRAM", "0")
+    s0, c0, _ = loss_bf16(*args)
+    monkeypatch.setenv("STYLEMESH_FAST_GRAM", "1")
+    monkeypatch.setattr(gp, "MIN_PX", 1)  # force the kernel on tiny maps
+    s1, c1, _ = loss_bf16(*args)
+    np.testing.assert_allclose(float(s1), float(s0), rtol=2e-2)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=2e-2)
+
+
+def test_fused_gram_gradients_match_xla(monkeypatch):
+    import jax
+
+    import stylemesh_tpu.ops.gram_pallas as gp
+
+    params, _, _, _ = _setup(style_pyramid_mode="multi", angle_threshold=45.0)
+    loss_bf16 = ContentAndStyleLoss(
+        style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+        style_weights=STYLE_WEIGHTS, content_weights=(1.0,),
+        angle_threshold=45.0, style_pyramid_mode="multi",
+        gram_mode="current", num_style_levels=5, style_min_size=32,
+        compute_dtype=jnp.bfloat16, precision=jax.lax.Precision.DEFAULT)
+    targets = loss_bf16.set_style_image(params, jnp.asarray(
+        (RNG.random((1, 130, 180, 3)).astype(np.float32) - 0.45) * 255.0))
+    preds, content, masks, angle = _rand_inputs()
+
+    def total(pyr):
+        s, c, _ = loss_bf16(params, targets, pyr, jnp.asarray(content),
+                            [jnp.asarray(m) for m in masks],
+                            jnp.asarray(angle))
+        return 1e-4 * s + 7e1 * c
+
+    pyr = [jnp.asarray(p) for p in preds]
+    monkeypatch.setenv("STYLEMESH_FAST_GRAM", "0")
+    g0 = jax.grad(total)(pyr)
+    monkeypatch.setenv("STYLEMESH_FAST_GRAM", "1")
+    monkeypatch.setattr(gp, "MIN_PX", 1)
+    g1 = jax.grad(total)(pyr)
+    for a, b in zip(g0, g1):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = np.abs(a).max() + 1e-12
+        assert np.abs(a - b).max() / scale < 3e-2

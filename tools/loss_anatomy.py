@@ -42,14 +42,16 @@ def timed(name, fn, *args):
 
 
 def main():
+    mode = os.environ.get("ANAT_MODE", "multi")  # 'multi' | 'single'
+    remat = os.environ.get("ANAT_REMAT", "1") == "1" and V > 2
     cfg = PipelineConfig(
         texture_width=4096, texture_height=4096, hierarchical_layers=4,
         use_angle_weight=True, use_depth_scaling=True,
         content_weight=7e1, style_weight=1e-4, tex_reg_weight=5e3,
-        style_pyramid_mode="multi", angle_threshold=30.0,
+        style_pyramid_mode=mode, angle_threshold=30.0,
         learning_rate=1.0, decay_step_size=3,
         compute_dtype=jnp.bfloat16, precision=jax.lax.Precision.DEFAULT,
-        remat_vgg=V > 2, remat_min_px=600_000, kernel_compute="bf16")
+        remat_vgg=remat, remat_min_px=600_000, kernel_compute="bf16")
     vgg = init_vgg_params(rng=0, scale=0.05)
     rng = np.random.default_rng(0)
     style = jnp.asarray((rng.random((1, 512, 683, 3), dtype=np.float32) - 0.45) * 255.0)
@@ -65,8 +67,8 @@ def main():
     pyr = render(state.texture, batch)
     pyr = [p.astype(jnp.bfloat16) for p in jax.block_until_ready(pyr)]
 
-    fast = os.environ.get("STYLEMESH_FAST_CONV", "1")
-    print(f"# V={V} fast_conv={fast}", flush=True)
+    fast = os.environ.get("STYLEMESH_FAST_CONV", "0")
+    print(f"# V={V} fast_conv={fast} mode={mode} remat={remat}", flush=True)
 
     def encode_all(pyr):
         return [vgg_features(vgg, p, KEYS, compute_dtype=jnp.bfloat16,
