@@ -161,7 +161,11 @@ def _maxpool2_fastvjp(x):
 
 
 def _maxpool2(x):
-    if os.environ.get("STYLEMESH_FAST_POOL", "1") != "0":
+    # A/B on v5e (tools/vgg_anatomy.py): trunk f+b 86.2 ms with
+    # SelectAndScatter vs 108.7 ms with the elementwise VJP — the stack +
+    # transpose interleave costs more than SAS saves, so SAS stays the
+    # default and the custom VJP is opt-in for future revisits.
+    if os.environ.get("STYLEMESH_FAST_POOL", "0") == "1":
         return _maxpool2_fastvjp(x)
     return _maxpool2_raw(x)
 
