@@ -83,12 +83,11 @@ def _run_bench(batch_views):
         # (tools/bf16_quality_check.py) and is ~22% faster end to end
         kernel_compute="f32" if os.environ.get("BENCH_KERNEL_BF16") == "0"
         else "bf16",
-        # V<=2 fits HBM without remat; larger batches re-enable it (V=4
-        # without remat exceeds HBM by ~0.6GB: the pyramid VGG activations).
-        # Selective remat recomputes only the largest pyramid level — the
-        # actual memory peak — and skips the recompute for the other three
-        # (460 vs 497 ms/step at V=4, tools/remat_sweep.py)
-        remat_vgg=(batch_views > 2
+        # The fused gram kernel dropped the step's saved-residual footprint
+        # (no more F*m copies): V=4 now fits HBM without remat (14.4 GB temp,
+        # tools/hbm_probe.py) and runs ~3% faster (9.72 vs 9.44 views/s).
+        # Larger view batches still rematerialize the biggest pyramid level.
+        remat_vgg=(batch_views > 4
                    and os.environ.get("BENCH_NO_REMAT") != "1"),
         remat_min_px=600_000,
     )

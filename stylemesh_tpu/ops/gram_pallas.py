@@ -33,6 +33,7 @@ f32/HIGHEST parity runs stay on the XLA einsum.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 R = 4096  # pixels per chunk — large so per-chunk overhead amortizes
 # features below this pixel count stay on the XLA einsum: their gram cost is
 # negligible and the R-padding would dominate
-MIN_PX = 200_000
+MIN_PX = int(os.environ.get("STYLEMESH_GRAM_MIN_PX", "50000"))
 
 
 def stack_masks(masks):
