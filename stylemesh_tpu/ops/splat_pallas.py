@@ -64,17 +64,24 @@ def _corner_terms(u, v, tex_h, tex_w):
 
 
 def _window_onehots(iy0, iy1, ix0, ix1, wy1, wx1, alive, oy, ox,
-                    region_h, region_w, tile_px):
+                    region_h, region_w, tile_px, dtype=jnp.float32):
     """Combined row/col one-hot weight matrices for a window (the 2x2
     bilinear footprint factorizes; out-of-window corners vanish because the
-    iota never matches their offset)."""
+    iota never matches their offset). The [R*, tile_px] builds dominate the
+    kernels' VPU time, so: aliveness folds into the per-pixel row weights
+    (no extra [RH, tile_px] multiply) and everything is built directly in
+    the compute dtype (no post-hoc cast passes). Exact either way — one-hot
+    entries and 0/1 masks are representable in bf16; the bilinear weights
+    round once exactly as the previous cast did."""
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (region_h, tile_px), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (region_w, tile_px), 0)
-    row_w = ((iota_r == (iy0 - oy)).astype(jnp.float32) * (1.0 - wy1)
-             + (iota_r == (iy1 - oy)).astype(jnp.float32) * wy1)
-    col_w = ((iota_c == (ix0 - ox)).astype(jnp.float32) * (1.0 - wx1)
-             + (iota_c == (ix1 - ox)).astype(jnp.float32) * wx1)
-    return row_w * alive, col_w
+    w0 = ((1.0 - wy1) * alive).astype(dtype)
+    w1 = (wy1 * alive).astype(dtype)
+    row_w = ((iota_r == (iy0 - oy)).astype(dtype) * w0
+             + (iota_r == (iy1 - oy)).astype(dtype) * w1)
+    col_w = ((iota_c == (ix0 - ox)).astype(dtype) * (1.0 - wx1).astype(dtype)
+             + (iota_c == (ix1 - ox)).astype(dtype) * wx1.astype(dtype))
+    return row_w, col_w
 
 
 def _dot_kw(compute):
@@ -94,28 +101,49 @@ def _cast(x, compute):
 
 def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
                   ids_ref, oy_ref, ox_ref, sub_ref, load_ref, store_ref,
-                  alive_ref, row0_ref,
+                  alive_ref, slot_ref, row0_ref,
                   uvl_ref, g_ref, atlas_in_ref, atlas_ref,
                   region, sem_in, sem_out):
     del ids_ref, atlas_in_ref  # ids consumed by index_maps; atlas aliased
     i = pl.program_id(0)
+    n = pl.num_programs(0)
     alive = alive_ref[i] != 0
     # window origins are GLOBAL atlas rows (the uv->texel one-hots need
     # them); the DMA subtracts the chip's band offset (0 when unbanded)
     oy = oy_ref[i]
-    oy_dma = pl.multiple_of(oy - row0_ref[0], 8)
-    ox = pl.multiple_of(ox_ref[i], 128)
-    do_load = jnp.logical_and(alive, load_ref[i] != 0)
+    slot = slot_ref[i]
+    do_load = load_ref[i] != 0
 
-    def window_copy(src_region=False, sem=None):
-        tgt = atlas_ref.at[:, pl.ds(oy_dma, region_h), pl.ds(ox, region_w)]
+    def window_copy(j, s, src_region=False, sem_arr=None):
+        oy_dma = pl.multiple_of(oy_ref[j] - row0_ref[0], 8)
+        oxj = pl.multiple_of(ox_ref[j], 128)
+        tgt = atlas_ref.at[:, pl.ds(oy_dma, region_h), pl.ds(oxj, region_w)]
         if src_region:
-            return pltpu.make_async_copy(region, tgt, sem)
-        return pltpu.make_async_copy(tgt, region, sem)
+            return pltpu.make_async_copy(region.at[s], tgt, sem_arr.at[s])
+        return pltpu.make_async_copy(tgt, region.at[s], sem_arr.at[s])
 
-    @pl.when(do_load)
+    # warm-up: the first window run loads its own window
+    @pl.when(jnp.logical_and(i == 0, do_load))
     def _():
-        window_copy(sem=sem_in).start()
+        window_copy(0, slot, sem_arr=sem_in).start()
+
+    # prefetch the NEXT run's window into the other slot while this entry
+    # computes. RMW hazard: if the next window overlaps THIS run's (not yet
+    # stored) window, an early prefetch would read stale texels — those
+    # prefetch after the store instead (see the bottom of the kernel).
+    # Stores of earlier runs completed inline at their own grid steps, so
+    # only the current run's window needs the disjointness test.
+    nxt = jnp.minimum(i + 1, n - 1)
+    disjoint = jnp.logical_or(
+        jnp.logical_or(oy_ref[nxt] >= oy + region_h,
+                       oy >= oy_ref[nxt] + region_h),
+        jnp.logical_or(ox_ref[nxt] >= ox_ref[i] + region_w,
+                       ox_ref[i] >= ox_ref[nxt] + region_w))
+    want_prefetch = jnp.logical_and(i + 1 < n, load_ref[nxt] != 0)
+
+    @pl.when(jnp.logical_and(want_prefetch, disjoint))
+    def _():
+        window_copy(nxt, slot_ref[nxt], sem_arr=sem_in).start()
 
     uvl = uvl_ref[0]  # [3, tile_px]: u, v, island label
     g = g_ref[0]  # [3, tile_px]
@@ -124,15 +152,16 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
     # per-island entry: only this entry's pixels contribute
     px_alive = px_alive * (uvl[2:3, :] == sub_ref[i].astype(jnp.float32)
                            ).astype(jnp.float32)
+    ox = pl.multiple_of(ox_ref[i], 128)
+    dt = jnp.bfloat16 if compute == "bf16" else jnp.float32
     row_w, col_w = _window_onehots(iy0, iy1, ix0, ix1, wy1, wx1, px_alive,
-                                   oy, ox, region_h, region_w, tile_px)
-    row_w = _cast(row_w, compute)
-    col_w = _cast(col_w, compute)
+                                   oy, ox, region_h, region_w, tile_px,
+                                   dtype=dt)
     gc = _cast(g, compute)
 
     @pl.when(do_load)
     def _():
-        window_copy(sem=sem_in).wait()
+        window_copy(i, slot, sem_arr=sem_in).wait()
 
     @pl.when(alive)
     def _():
@@ -141,13 +170,18 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
             a = row_w * gc[ch:ch + 1, :]  # [RH, tile_px]
             m = jax.lax.dot_general(
                 a, col_w, dimension_numbers=(((1,), (1,)), ((), ())), **kw)
-            region[ch, :, :] = region[ch, :, :] + m
+            region[slot, ch, :, :] = region[slot, ch, :, :] + m
 
-    @pl.when(jnp.logical_and(alive, store_ref[i] != 0))
+    @pl.when(store_ref[i] != 0)
     def _():
-        cp = window_copy(src_region=True, sem=sem_out)
+        cp = window_copy(i, slot, src_region=True, sem_arr=sem_out)
         cp.start()
         cp.wait()
+
+    # overlapping next window: load it only now, after the store landed
+    @pl.when(jnp.logical_and(want_prefetch, jnp.logical_not(disjoint)))
+    def _():
+        window_copy(nxt, slot_ref[nxt], sem_arr=sem_in).start()
 
 
 # -------------------------------------------------------------------- gather
@@ -155,24 +189,39 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
 
 def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
                    ids_ref, oy_ref, ox_ref, sub_ref, load_ref, acc_ref,
-                   alive_ref, row0_ref,
+                   alive_ref, slot_ref, row0_ref,
                    uvl_ref, atlas_ref, out_ref,
                    region, sem1):
     del ids_ref
     i = pl.program_id(0)
+    n = pl.num_programs(0)
     alive = alive_ref[i] != 0
     acc = acc_ref[i] != 0
     # global window rows for the uv->texel math; band-local rows for the DMA
     oy = oy_ref[i]
-    oy_dma = pl.multiple_of(oy - row0_ref[0], 8)
     ox = pl.multiple_of(ox_ref[i], 128)
+    slot = slot_ref[i]
     do_load = jnp.logical_and(alive, load_ref[i] != 0)
 
-    @pl.when(do_load)
+    def window_load(j, s):
+        oy_dma = pl.multiple_of(oy_ref[j] - row0_ref[0], 8)
+        oxj = pl.multiple_of(ox_ref[j], 128)
+        return pltpu.make_async_copy(
+            atlas_ref.at[:, pl.ds(oy_dma, region_h), pl.ds(oxj, region_w)],
+            region.at[s], sem1.at[s])
+
+    @pl.when(jnp.logical_and(i == 0, do_load))
     def _():
-        pltpu.make_async_copy(
-            atlas_ref.at[:, pl.ds(oy_dma, region_h), pl.ds(ox, region_w)],
-            region, sem1).start()
+        window_load(0, slot).start()
+
+    # double-buffer: start the next run's window while this entry computes
+    # (windows are read-only in the gather — no store hazards)
+    nxt = jnp.minimum(i + 1, n - 1)
+    @pl.when(jnp.logical_and(
+        i + 1 < n,
+        jnp.logical_and(load_ref[nxt] != 0, alive_ref[nxt] != 0)))
+    def _():
+        window_load(nxt, slot_ref[nxt]).start()
 
     # dead tile: zero its out block. (alive=0, acc=1 is schedule padding: the
     # out block belongs to an already-written tile — leave it untouched.)
@@ -185,15 +234,14 @@ def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
         uvl[0:1, :], uvl[1:2, :], tex_h, tex_w)
     px_alive = px_alive * (uvl[2:3, :] == sub_ref[i].astype(jnp.float32)
                            ).astype(jnp.float32)
+    dt = jnp.bfloat16 if compute == "bf16" else jnp.float32
     row_w, col_w = _window_onehots(iy0, iy1, ix0, ix1, wy1, wx1, px_alive,
-                                   oy, ox, region_h, region_w, tile_px)
-    col_w = _cast(col_w, compute)
+                                   oy, ox, region_h, region_w, tile_px,
+                                   dtype=dt)
 
     @pl.when(do_load)
     def _():
-        pltpu.make_async_copy(
-            atlas_ref.at[:, pl.ds(oy_dma, region_h), pl.ds(ox, region_w)],
-            region, sem1).wait()
+        window_load(i, slot).wait()
 
     @pl.when(alive)
     def _():
@@ -201,7 +249,7 @@ def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
         for ch in range(3):
             # pred[p] = sum_r rowW[r,p] * (T[ch] @ colW)[r,p]
             u_rp = jax.lax.dot_general(
-                _cast(region[ch, :, :], compute), col_w,
+                _cast(region[slot, ch, :, :], compute), col_w,
                 dimension_numbers=(((1,), (0,)), ((), ())), **kw)
             val = jnp.sum(row_w * u_rp, axis=0)
             # first entry of a tile writes; later entries of the same tile
@@ -277,6 +325,9 @@ def splat_pallas(g, uv, plan: PlanArrays, tex_h, tex_w, compute="f32",
     sched = _flat_schedule(
         plan, ("s_ids", "s_oy", "s_ox", "s_sub", "s_load", "s_store",
                "s_alive"), t_view)
+    # window-run parity -> double-buffer slot (run r uses region slot r % 2)
+    load_flat = sched[4]
+    sched.append(jnp.maximum(jnp.cumsum(load_flat) - 1, 0) % 2)
     if row0 is None:
         row0 = jnp.zeros((), jnp.int32)
     sched.append(jnp.reshape(row0, (1,)).astype(jnp.int32))
@@ -284,7 +335,7 @@ def splat_pallas(g, uv, plan: PlanArrays, tex_h, tex_w, compute="f32",
     atlas_zero = jnp.zeros((3, tex_h, tex_w), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=9,
         grid=(n_grid,),
         in_specs=[
             pl.BlockSpec((1, 3, tile_px), lambda i, ids, *_: (ids[i], 0, 0)),
@@ -293,9 +344,9 @@ def splat_pallas(g, uv, plan: PlanArrays, tex_h, tex_w, compute="f32",
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((3, region_h, region_w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 3, region_h, region_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_splat_kernel, tex_h_map, tex_w, region_h,
@@ -304,7 +355,7 @@ def splat_pallas(g, uv, plan: PlanArrays, tex_h, tex_w, compute="f32",
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, tex_h, tex_w), jnp.float32),
-        input_output_aliases={10: 0},  # atlas input (after 8 prefetch + 2)
+        input_output_aliases={11: 0},  # atlas input (after 9 prefetch + 2)
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -337,13 +388,16 @@ def gather_pallas(texture_cfirst, uv, plan: PlanArrays, out_hw, compute="f32",
     sched = _flat_schedule(
         plan, ("g_ids", "g_oy", "g_ox", "g_sub", "g_load", "g_acc",
                "g_alive"), t_view)
+    # window-run parity -> double-buffer slot
+    load_flat = sched[4]
+    sched.append(jnp.maximum(jnp.cumsum(load_flat) - 1, 0) % 2)
     if row0 is None:
         row0 = jnp.zeros((), jnp.int32)
     sched.append(jnp.reshape(row0, (1,)).astype(jnp.int32))
     n_grid = sched[0].shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=9,
         grid=(n_grid,),
         in_specs=[
             pl.BlockSpec((1, 3, tile_px), lambda i, ids, *_: (ids[i], 0, 0)),
@@ -352,8 +406,8 @@ def gather_pallas(texture_cfirst, uv, plan: PlanArrays, out_hw, compute="f32",
         out_specs=pl.BlockSpec((1, 3, tile_px),
                                lambda i, ids, *_: (ids[i], 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((3, region_h, region_w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 3, region_h, region_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_gather_kernel, tex_h_map, tex_w, region_h,

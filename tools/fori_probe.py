@@ -32,7 +32,7 @@ def main():
         style_pyramid_mode="multi", angle_threshold=30.0,
         learning_rate=1.0, decay_step_size=3,
         compute_dtype=jnp.bfloat16, precision=jax.lax.Precision.DEFAULT,
-        remat_vgg=V > 2, remat_min_px=600_000, kernel_compute="bf16")
+        remat_vgg=V > 4, remat_min_px=600_000, kernel_compute="bf16")
     vgg = init_vgg_params(rng=0, scale=0.05)
     rng = np.random.default_rng(0)
     style = jnp.asarray((rng.random((1, 512, 683, 3), dtype=np.float32) - 0.45) * 255.0)

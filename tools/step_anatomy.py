@@ -45,7 +45,7 @@ def main():
         style_pyramid_mode="multi", angle_threshold=30.0,
         learning_rate=1.0, decay_step_size=3,
         compute_dtype=jnp.bfloat16, precision=jax.lax.Precision.DEFAULT,
-        remat_vgg=V > 2, remat_min_px=600_000, kernel_compute="bf16")
+        remat_vgg=V > 4, remat_min_px=600_000, kernel_compute="bf16")
     vgg = init_vgg_params(rng=0, scale=0.05)
     rng = np.random.default_rng(0)
     style = jnp.asarray((rng.random((1, 512, 683, 3), dtype=np.float32) - 0.45) * 255.0)
@@ -58,6 +58,7 @@ def main():
     batch = with_splat_plans(batch, layer_sizes,
                              use_angle_weight=cfg.use_angle_weight,
                              use_depth_scaling=cfg.use_depth_scaling)
+    batch = jax.device_put(batch)
     pipe = TexturePipeline(cfg, vgg, style)
     state = pipe.init()
     aux = pipe.prepare_batch(batch)
