@@ -4,13 +4,24 @@ The reference delegates unwrapping to headless Blender
 (/root/reference/scripts/scannet/create_uvs.py:98-107 —
 ``uv.smart_project(angle_limit=1.2217)`` after decimation). This module
 provides a built-in equivalent so the framework is self-contained on machines
-without Blender: faces are binned by dominant normal direction (the 6 axis
-planes), grown into edge-connected islands, orthographically projected, and
-shelf-packed into the unit square with margins. Output is a vertex-split mesh
-with per-vertex UVs — the same contract as the Blender export.
+without Blender, following the same algorithm family as Blender's
+``smart_project``:
 
-For production-quality seams Blender remains a drop-in alternative (the baked
-``*_uvs_blender.ply`` files load through :mod:`stylemesh_tpu.geometry.mesh_io`).
+1. projection groups are grown greedily by face normal with the same
+   70-degree ``angle_limit``: the largest-area unassigned face seeds a
+   group, every unassigned face within the angle limit joins, and the group
+   direction is refined once to the area-weighted mean normal;
+2. faces of a group are orthographically projected onto the plane
+   perpendicular to the group direction (arbitrary basis, not just the 6
+   axis planes);
+3. edge-connected islands within a group are PCA-aligned (dominant 2D axis
+   horizontal — approximating Blender's pack-with-rotation) and
+   shelf-packed into the unit square with margins.
+
+Output is a vertex-split mesh with per-vertex UVs — the same contract as the
+Blender export. For byte-identical atlases Blender remains a drop-in
+alternative (the baked ``*_uvs_blender.ply`` files load through
+:mod:`stylemesh_tpu.geometry.mesh_io`).
 """
 
 import dataclasses
@@ -20,20 +31,69 @@ import numpy as np
 
 from stylemesh_tpu.geometry.mesh_io import Mesh, compute_vertex_normals
 
-# axis-projection table: dominant axis bin -> (u axis, v axis)
-_PROJ = {
-    0: (1, 2), 1: (1, 2),  # ±X -> (y, z)
-    2: (0, 2), 3: (0, 2),  # ±Y -> (x, z)
-    4: (0, 1), 5: (0, 1),  # ±Z -> (x, y)
-}
+# Blender's create_uvs.py angle_limit (radians, ~70 degrees)
+ANGLE_LIMIT = 1.2217
 
 
-def _face_bins(vertices, faces):
-    fn = np.cross(vertices[faces[:, 1]] - vertices[faces[:, 0]],
-                  vertices[faces[:, 2]] - vertices[faces[:, 0]])
-    ax = np.argmax(np.abs(fn), axis=1)
-    sign = (np.take_along_axis(fn, ax[:, None], 1)[:, 0] < 0).astype(np.int64)
-    return ax * 2 + sign  # 0..5
+def _face_normals_areas(vertices, faces):
+    c = np.cross(vertices[faces[:, 1]] - vertices[faces[:, 0]],
+                 vertices[faces[:, 2]] - vertices[faces[:, 0]])
+    nrm = np.linalg.norm(c, axis=1)
+    areas = 0.5 * nrm
+    normals = c / np.maximum(nrm, 1e-12)[:, None]
+    normals[nrm < 1e-12] = (0.0, 0.0, 1.0)  # degenerate faces -> +Z group
+    return normals, areas
+
+
+def _projection_groups(vertices, faces, angle_limit=ANGLE_LIMIT):
+    """Greedy angle-limit clustering of faces by normal (Blender
+    smart_project's grouping): seed with the largest unassigned face,
+    absorb everything within the limit, refine the direction once to the
+    area-weighted mean. Returns (group id per face, group directions)."""
+    normals, areas = _face_normals_areas(vertices, faces)
+    cos_lim = float(np.cos(angle_limit))
+    n_faces = len(faces)
+    group_of = np.full(n_faces, -1, np.int64)
+    directions = []
+    unassigned = np.ones(n_faces, bool)
+    while unassigned.any():
+        seed = int(np.argmax(np.where(unassigned, areas, -1.0)))
+        d = normals[seed]
+        sel = unassigned & (normals @ d >= cos_lim)
+        # one refinement pass: area-weighted mean normal, re-threshold
+        m = (normals[sel] * areas[sel, None]).sum(0)
+        mn = np.linalg.norm(m)
+        if mn > 1e-12:
+            m = m / mn
+            sel2 = unassigned & (normals @ m >= cos_lim)
+            if sel2.any():
+                sel, d = sel2, m
+        sel[seed] = True
+        group_of[sel] = len(directions)
+        directions.append(d)
+        unassigned &= ~sel
+    return group_of, directions
+
+
+def _plane_basis(n):
+    """Orthonormal (u, v) spanning the plane perpendicular to ``n``."""
+    a = np.asarray((0.0, 0.0, 1.0) if abs(n[2]) < 0.9 else (1.0, 0.0, 0.0))
+    u = np.cross(a, n)
+    u = u / np.linalg.norm(u)
+    v = np.cross(n, u)
+    return u, v
+
+
+def _pca_align(pts2):
+    """Rotate 2D points so their dominant principal axis is horizontal
+    (approximates Blender's pack-with-rotation bbox shrinking)."""
+    flat = pts2.reshape(-1, 2)
+    c = flat - flat.mean(0)
+    cov = c.T @ c
+    _, vecs = np.linalg.eigh(cov)
+    axis = vecs[:, -1]  # largest eigenvalue
+    rot = np.stack([axis, np.asarray([-axis[1], axis[0]])], axis=0)
+    return pts2 @ rot.T
 
 
 def _islands(faces, bins):
@@ -66,20 +126,21 @@ def _islands(faces, bins):
     return list(groups.values())
 
 
-def smart_project(mesh: Mesh, margin=0.002) -> Mesh:
+def smart_project(mesh: Mesh, margin=0.002, angle_limit=ANGLE_LIMIT) -> Mesh:
     """Unwrap ``mesh`` into a packed atlas; returns a mesh with UVs (vertices
     are split so each island owns its corners, like any unwrap seam)."""
     vertices = np.asarray(mesh.vertices, np.float32)
     faces = np.asarray(mesh.faces, np.int64)
-    bins = _face_bins(vertices, faces)
+    bins, directions = _projection_groups(vertices, faces, angle_limit)
     islands = _islands(faces, bins)
 
-    # project each island, collect its 2D bbox
+    # project each island onto its group plane, PCA-align, collect 2D bbox
     proj = []  # (face_ids, uv2 [n_faces, 3, 2])
     for island in islands:
-        b = bins[island[0]]
-        ua, va = _PROJ[b]
-        pts = vertices[faces[island]][..., (ua, va)]  # [n, 3, 2]
+        u, v = _plane_basis(directions[bins[island[0]]])
+        tri = vertices[faces[island]]  # [n, 3, 3]
+        pts = np.stack([tri @ u, tri @ v], axis=-1)  # [n, 3, 2]
+        pts = _pca_align(pts)
         mn = pts.reshape(-1, 2).min(0)
         pts = pts - mn
         proj.append((island, pts))

@@ -222,3 +222,33 @@ def test_save_ply_roundtrip_and_create_uvs(tmp_path):
     # idempotent: second call skips
     out2 = unwrap_mesh_file(str(raw), max_faces=1000)
     assert out2 == out
+
+
+def test_smart_project_angle_limit_grouping():
+    """Blender-parity semantics: faces within the 70-degree angle_limit share
+    a projection group (one island if edge-connected); faces beyond it split
+    (create_uvs.py smart_project(angle_limit=1.2217))."""
+    import numpy as np
+
+    from stylemesh_tpu.geometry.unwrap import _islands, _projection_groups
+
+    def tent(angle_deg):
+        # two triangles sharing edge (0,0,0)-(0,1,0); the second tilts by
+        # angle_deg around that shared edge
+        a = np.deg2rad(angle_deg)
+        verts = np.asarray([
+            [0, 0, 0], [0, 1, 0], [1, 0, 0],
+            [np.cos(a) * -1.0, 0, np.sin(a)],
+        ], np.float32)
+        faces = np.asarray([[0, 2, 1], [0, 1, 3]], np.int64)
+        return verts, faces
+
+    v, f = tent(30.0)  # normals 30 deg apart -> same group
+    g, _ = _projection_groups(v, f)
+    assert g[0] == g[1]
+    assert len(_islands(f, g)) == 1
+
+    v, f = tent(90.0)  # normals 90 deg apart -> split
+    g, _ = _projection_groups(v, f)
+    assert g[0] != g[1]
+    assert len(_islands(f, g)) == 2
