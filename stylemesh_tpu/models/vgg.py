@@ -112,7 +112,50 @@ def load_vgg_params(path, dtype=jnp.float32):
     return params
 
 
+def _conv3x3_xla(x, kernel, bias, precision):
+    out = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+    )
+    return out + bias.astype(out.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv3x3_flipvjp(x, kernel, bias, precision):
+    """conv3x3 whose input gradient is an explicit flipped-kernel forward
+    conv (the exact stride-1 SAME transpose identity) instead of XLA's
+    auto-derived transpose, which lowers ~30% slower on v5e (trunk fwd+vjp
+    204.6 -> 157.4 ms at V=4, tools/loss_anatomy.py). Bit-identical
+    gradients (verified maxdiff 0.0 on CPU). Weight/bias cotangents are
+    zeros — the VGG is frozen everywhere in this framework (the reference
+    never trains it either, model/model.py). STYLEMESH_CONV_FLIPVJP=0
+    restores the auto VJP."""
+    return _conv3x3_xla(x, kernel, bias, precision)
+
+
+def _conv3x3_flip_fwd(x, kernel, bias, precision):
+    return _conv3x3_xla(x, kernel, bias, precision), (kernel, bias)
+
+
+def _conv3x3_flip_bwd(precision, res, g):
+    kernel, bias = res
+    kt = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = jax.lax.conv_general_dilated(
+        g, kt.astype(g.dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    return dx, jnp.zeros_like(kernel), jnp.zeros_like(bias)
+
+
+_conv3x3_flipvjp.defvjp(_conv3x3_flip_fwd, _conv3x3_flip_bwd)
+
+
 def _conv3x3(x, kernel, bias, precision):
+    if os.environ.get("STYLEMESH_CONV_FLIPVJP", "1") != "0":
+        return _conv3x3_flipvjp(x, kernel, bias, precision)
     # Pallas conv path (ops/conv_pallas.py): an im2col matmul with a
     # 9*Cin contraction. Measured on v5e it only MATCHES XLA's conv lowering
     # (tools/conv_kernel_check.py: 17.3 vs 18.8 ms fwd at 64ch, slightly

@@ -166,11 +166,13 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
     @pl.when(alive)
     def _():
         kw = _dot_kw(compute)
-        for ch in range(3):
-            a = row_w * gc[ch:ch + 1, :]  # [RH, tile_px]
-            m = jax.lax.dot_general(
-                a, col_w, dimension_numbers=(((1,), (1,)), ((), ())), **kw)
-            region[slot, ch, :, :] = region[slot, ch, :, :] + m
+        # channels stacked into one [3*RH, tile_px] @ [RW, tile_px]^T dot —
+        # three separate RH-row matmuls leave most MXU rows idle
+        a3 = (row_w[None, :, :] * gc[:, None, :]).reshape(
+            3 * region_h, tile_px)
+        m = jax.lax.dot_general(
+            a3, col_w, dimension_numbers=(((1,), (1,)), ((), ())), **kw)
+        region[slot] = region[slot] + m.reshape(3, region_h, region_w)
 
     @pl.when(store_ref[i] != 0)
     def _():
@@ -246,17 +248,17 @@ def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
     @pl.when(alive)
     def _():
         kw = _dot_kw(compute)
-        for ch in range(3):
-            # pred[p] = sum_r rowW[r,p] * (T[ch] @ colW)[r,p]
-            u_rp = jax.lax.dot_general(
-                _cast(region[slot, ch, :, :], compute), col_w,
-                dimension_numbers=(((1,), (0,)), ((), ())), **kw)
-            val = jnp.sum(row_w * u_rp, axis=0)
-            # first entry of a tile writes; later entries of the same tile
-            # accumulate (their out block is still resident — entries of one
-            # tile are consecutive in the schedule)
-            base = jnp.where(acc, out_ref[0, ch, :], 0.0)
-            out_ref[0, ch, :] = base + val
+        # pred[ch, p] = sum_r rowW[r,p] * (T[ch] @ colW)[r,p], all channels
+        # in one [3*RH, RW] @ [RW, tile_px] dot
+        t3 = _cast(region[slot], compute).reshape(3 * region_h, region_w)
+        u = jax.lax.dot_general(
+            t3, col_w, dimension_numbers=(((1,), (0,)), ((), ())), **kw)
+        vals = jnp.sum(u.reshape(3, region_h, tile_px) * row_w[None], axis=1)
+        # first entry of a tile writes; later entries of the same tile
+        # accumulate (their out block is still resident — entries of one
+        # tile are consecutive in the schedule)
+        base = jnp.where(acc, out_ref[0], 0.0)
+        out_ref[0] = base + vals
 
 
 # ------------------------------------------------------------------ wrappers
