@@ -99,6 +99,12 @@ def build_parser():
                    help="recompute-in-backward only pyramid levels with >= "
                         "this many pixels (the HBM peak); 0 remats every "
                         "level (slower, lowest memory)")
+    p.add_argument("--remat_vgg", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="rematerialize VGG activations in the backward. "
+                        "'auto' disables it up to batch_size 4 — the fused "
+                        "gram kernel freed enough HBM that the recompute "
+                        "only costs time there (tools/hbm_probe.py)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--no_post_steps", default=False, action="store_true")
     return p
@@ -135,6 +141,8 @@ def configs_from_args(args):
         compute_dtype=jnp.bfloat16 if args.bfloat16 else None,
         kernel_compute=args.kernel_compute,
         remat_min_px=args.remat_min_px,
+        remat_vgg=(args.batch_size > 4 if args.remat_vgg == "auto"
+                   else args.remat_vgg == "on"),
     )
     run = RunConfig(
         root_path=args.root_path,

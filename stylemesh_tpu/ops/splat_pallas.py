@@ -162,11 +162,16 @@ def _splat_kernel(tex_h, tex_w, tex_h_loc, region_h, region_w, eh_dma,
     nxt = jnp.minimum(i + 1, n - 1)
     oy_al_i, ox_al_i, dyr_i, dxr_i = coords(i)
     oy_al_n, ox_al_n, _, _ = coords(nxt)
+    # hazard extents: the next LOAD (dma window) vs this run's MODIFIED
+    # texels (effective window only — the store also rewrites the dma halo,
+    # but with the exact values it loaded, so reading the halo early is
+    # benign). oy here is global; oy_al_* are band-local — compare locally.
+    oy_loc_i = oy - row0_ref[0]
     disjoint = jnp.logical_or(
-        jnp.logical_or(oy_al_n >= oy_al_i + eh_dma,
-                       oy_al_i >= oy_al_n + eh_dma),
-        jnp.logical_or(ox_al_n >= ox_al_i + ew_dma,
-                       ox_al_i >= ox_al_n + ew_dma))
+        jnp.logical_or(oy_al_n >= oy_loc_i + region_h,
+                       oy_loc_i >= oy_al_n + eh_dma),
+        jnp.logical_or(ox_al_n >= ox_ref[i] + region_w,
+                       ox_ref[i] >= ox_al_n + ew_dma))
     want_prefetch = jnp.logical_and(i + 1 < n, load_ref[nxt] != 0)
 
     @pl.when(jnp.logical_and(want_prefetch, disjoint))

@@ -240,18 +240,34 @@ def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W,
         return rh, rw
 
     # Per-entry kernel cost model, calibrated against a measured region
-    # sweep on v5e (tools/gather_sweep.py): a fixed per-entry cost (DMA
-    # latency, corner math, dispatch), the one-hot builds ~ (rh + rw) x
-    # tile_px VPU ops, and the factorized matmuls ~ rh*rw-ish MXU work.
-    # With these terms the model reproduces the sweep's measured ordering
-    # ((64,256) < (64,384) < (128,256) < (64,512) < (32,256) < (128,512));
-    # the old pure-area model mispicked (64,384).
+    # sweep on v5e (tools/gather_sweep.py; ~5.3 ns per unit): a fixed
+    # per-entry cost (corner math, dispatch), the one-hot builds ~
+    # (rh + rw) x tile_px VPU ops, and the factorized matmuls ~ rh*rw-ish
+    # MXU work. Window runs pay a load(+store) DMA that serializes when
+    # consecutive windows overlap (~570 units), and every corner that no
+    # window covers falls to the ~90ns/element XLA residual scatter
+    # (~120 units once the pow2 cap padding, the gather-side
+    # residual overlay, and both backward passes are counted) — on seam-heavy scenes tiny windows explode residuals, so
+    # the top model candidates are SIMULATED on one view (_plan_view) and
+    # priced with their actual entry/run/residual counts.
     _C_FIXED = 200.0
+    _C_RUN = 570.0
+    _C_RES = 120.0
 
     def model_cost(rh, rw, n_entries):
-        return n_entries * (_C_FIXED + rh + rw + rh * rw / 128.0)
+        # the kernels' dots quantize to MXU tiles: the splat runs
+        # [3*rh, tile_px] @ [rw, tile_px]^T (~tile_px cycles per
+        # (128 x 128) output tile) and the gather [3*rh, rw] @ [rw, 1024]
+        # (~rw cycles per tile row) — measured 13.6 us/entry at (264,168)
+        # vs 8.7 at (144,256) on the demo room, which a smooth rh*rw term
+        # cannot rank correctly
+        tm = -(-3 * rh // 128)
+        tn = -(-rw // 128)
+        splat_mm = 205.0 * tm * tn
+        gather_mm = 1.6 * rw * tm
+        return n_entries * (_C_FIXED + rh + rw + splat_mm + gather_mm)
 
-    best = None
+    cand = {}
     quants = (1.0, 0.99, 0.95, 0.85)
     for qh in quants:
         for qw in quants:
@@ -261,8 +277,39 @@ def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W,
             fits = (fh <= rh - 2) & (fw <= rw - 2)
             # a split tile costs ~2 window passes instead of 1
             cost = model_cost(rh, rw, fits.size + int((~fits).sum()))
-            if best is None or cost < best[0]:
-                best = (cost, rh, rw)
+            cand.setdefault((rh, rw), cost)
+            if qh == 1.0 and qw == 1.0:
+                # the all-fits candidate must stay simulatable: on seam-heavy
+                # scenes it is the escape hatch from residual explosions even
+                # when the per-entry model ranks it last
+                cand[(rh, rw)] = min(cand[(rh, rw)], -1.0)
+    # seam-heavy scenes have BIMODAL footprints (smooth tiles vs island
+    # jumps): the quantile grid then skips the sweet spot between "tiny"
+    # and "huge", so also ladder the q85 base by fixed scale factors and
+    # let the simulation pick (forced into the shortlist at rank 0)
+    base_h = int(np.quantile(fh, 0.85)) + 2
+    base_w = int(np.quantile(fw, 0.85)) + 2
+    for f in (2, 3, 5):
+        rh, rw = clamp_hw(base_h * f, base_w * f)
+        cand[(rh, rw)] = min(cand.get((rh, rw), np.inf), -1.0)
+    shortlist = sorted(cand, key=cand.get)[:7]
+
+    best = None
+    uv0 = np.asarray(uv_views[0], np.float32)
+    for rh, rw in shortlist:
+        sim = _plan_view(uv0, tex_h, tex_w, tile_h, tile_w, rh, rw,
+                         weight_mask=None, n_bands=1)
+        n_entries = len(sim["e_tile"])
+        order = np.lexsort((sim["e_ox"], sim["e_oy"]))
+        oy_s = sim["e_oy"][order]
+        ox_s = sim["e_ox"][order]
+        runs = 1 + int(np.sum((oy_s[1:] != oy_s[:-1])
+                              | (ox_s[1:] != ox_s[:-1]))) if n_entries else 0
+        n_res = len(sim["res_texel"])
+        cost = (model_cost(rh, rw, n_entries) + runs * _C_RUN
+                + n_res * _C_RES)
+        if best is None or cost < best[0]:
+            best = (cost, rh, rw)
     return best[1], best[2]
 
 
