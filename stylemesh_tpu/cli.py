@@ -61,7 +61,15 @@ def build_parser():
 
     # style-transfer flags (reference :272-285)
     p.add_argument("--vgg_gatys_model_path", default="", type=str)
-    p.add_argument("--style_image_path", default="", type=str)
+    p.add_argument("--style_image_path", action="append", default=None,
+                   type=str,
+                   help="repeatable: N paths run an N-style sweep — one "
+                        "texture per style, style axis sharded over the "
+                        "chips (parallel/multistyle.py)")
+    p.add_argument("--style_dir", default="", type=str,
+                   help="optimize one texture per image in this directory "
+                        "(the reference's 120styles workflow), style axis "
+                        "over the chips; merged with --style_image_path")
     p.add_argument("--style_layers", type=lambda s: s.split(","),
                    default=list(DEFAULT_STYLE_LAYERS))
     p.add_argument("--content_layers", type=lambda s: s.split(","),
@@ -89,6 +97,12 @@ def build_parser():
                         "sitecustomize, so JAX_PLATFORMS env has no effect)")
     p.add_argument("--data_parallel", default=False, action="store_true",
                    help="shard the view batch across all visible chips")
+    p.add_argument("--shard_atlas", default=False, action="store_true",
+                   help="row-band the texture atlas (and Adam moments) "
+                        "across the chips: banded Pallas plans, psum'd "
+                        "gathers, band-local splats (parallel/atlas.py). "
+                        "For atlases too big to replicate (8k/16k, "
+                        "hierarchical 4096²)")
     p.add_argument("--bfloat16", default=False, action="store_true",
                    help="bfloat16 VGG compute (MXU full rate)")
     p.add_argument("--kernel_compute", default="bf16", choices=["f32", "bf16"],
@@ -102,9 +116,11 @@ def build_parser():
     p.add_argument("--remat_vgg", default="auto",
                    choices=["auto", "on", "off"],
                    help="rematerialize VGG activations in the backward. "
-                        "'auto' disables it up to batch_size 4 — the fused "
-                        "gram kernel freed enough HBM that the recompute "
-                        "only costs time there (tools/hbm_probe.py)")
+                        "'auto' disables it up to batch_size 4 under "
+                        "--bfloat16 (the fused gram kernel freed enough HBM "
+                        "that the recompute only costs time there, "
+                        "tools/hbm_probe.py) and up to batch_size 2 in f32, "
+                        "where that kernel does not engage")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--no_post_steps", default=False, action="store_true")
     return p
@@ -141,9 +157,26 @@ def configs_from_args(args):
         compute_dtype=jnp.bfloat16 if args.bfloat16 else None,
         kernel_compute=args.kernel_compute,
         remat_min_px=args.remat_min_px,
-        remat_vgg=(args.batch_size > 4 if args.remat_vgg == "auto"
+        # auto: the fused gram kernel only frees HBM when kernels run in
+        # bf16, so the no-remat batch window is narrower under f32
+        # (ADVICE r2: dtype-aware rule prevents f32 OOM at batch 3-4)
+        remat_vgg=((args.batch_size > 4 if args.bfloat16
+                    else args.batch_size > 2)
+                   if args.remat_vgg == "auto"
                    else args.remat_vgg == "on"),
     )
+    style_paths = list(args.style_image_path or [])
+    if args.style_dir:
+        import os
+
+        exts = (".jpg", ".jpeg", ".png", ".bmp")
+        style_paths += sorted(
+            os.path.join(args.style_dir, f)
+            for f in os.listdir(args.style_dir)
+            if f.lower().endswith(exts))
+    if not style_paths:
+        style_paths = [""]
+
     run = RunConfig(
         root_path=args.root_path,
         dataset=args.dataset,
@@ -164,11 +197,13 @@ def configs_from_args(args):
         max_epochs=args.max_epochs,
         views_per_batch=args.batch_size,
         data_parallel=args.data_parallel,
+        shard_atlas=args.shard_atlas,
+        extra_style_paths=tuple(style_paths[1:]),
         save_texture=args.save_texture,
         log_images_nth=args.log_images_nth,
         log_dir=args.log_dir,
         vgg_model_path=args.vgg_gatys_model_path,
-        style_image_path=args.style_image_path,
+        style_image_path=style_paths[0],
         seed=args.seed,
         run_post_steps=not args.no_post_steps,
     )
@@ -195,20 +230,25 @@ def main(argv=None):
 
     if run.run_post_steps:
         from stylemesh_tpu.eval.reprojection import eval_reprojection_consistency
-        from stylemesh_tpu.optimize import build_lpips
+        from stylemesh_tpu.optimize import _export_textures, build_lpips
         from stylemesh_tpu.texturing.video import video_from_files
         import os
 
-        styled_dir = os.path.join(log_dir, "styled")
-        frames = render_styled_frames(state.texture, cache, styled_dir)
-        video_from_files(frames, os.path.join(log_dir, "styled.mp4"))
         # the reference always reports LPIPS alongside MSE
         # (eval_image_folders.py:237-242); lpips_calibrated in the JSON says
         # whether converted lin weights were found
         lpips_fn = build_lpips(run.vgg_model_path)
-        results = eval_reprojection_consistency(
-            cache, styled_dir, out_dir=log_dir, seed=42, lpips_fn=lpips_fn)
-        print("reprojection eval:", results)
+        # one post chain per optimized texture (multi-style sweeps produce S)
+        for s, tex in _export_textures(state):
+            tag = "" if s is None else f"_style{s}"
+            styled_dir = os.path.join(log_dir, "styled" + tag)
+            frames = render_styled_frames(tex, cache, styled_dir)
+            video_from_files(frames,
+                             os.path.join(log_dir, f"styled{tag}.mp4"))
+            results = eval_reprojection_consistency(
+                cache, styled_dir, out_dir=log_dir, seed=42,
+                lpips_fn=lpips_fn, suffix=tag)
+            print(f"reprojection eval{tag}:", results)
     return state, log_dir
 
 

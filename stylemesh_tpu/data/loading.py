@@ -195,7 +195,7 @@ class SceneCache:
         return self.spec.levels
 
     def attach_splat_plans(self, layer_sizes, use_angle_weight=False,
-                           use_depth_scaling=False):
+                           use_depth_scaling=False, n_bands=1):
         """Precompute Pallas splat plans for every cached view and texture
         layer (see ops/splat_plan.py). ``layer_sizes``: [(h, w)] per texture
         layer. Plans are constants per scene; batches then assemble them by
@@ -205,13 +205,25 @@ class SceneCache:
         provably-zero gradients are dropped from the splat schedules
         (data/grad_masks.py). Plans built with different flags than the
         training config would silently drop live gradients — keep in sync.
+
+        ``n_bands > 1`` builds atlas-banded plans (leading band axis on every
+        schedule array) for :class:`parallel.atlas.AtlasShardedPipeline` —
+        one band per chip of the atlas mesh axis.
         """
         from stylemesh_tpu.data.grad_masks import grad_weight_masks
-        from stylemesh_tpu.ops.splat_plan import plan_arrays_for_views
+        from stylemesh_tpu.ops.splat_plan import (
+            plan_arrays_banded,
+            plan_arrays_for_views,
+        )
+
+        def eligible(h, w):
+            if h % 8 or w % 128:
+                return False
+            return n_bands == 1 or (h % n_bands == 0
+                                    and (h // n_bands) % 8 == 0)
 
         self._plan_layer_sizes = [
-            (h, w) if (h % 8 == 0 and w % 128 == 0) else None
-            for (h, w) in layer_sizes
+            (h, w) if eligible(h, w) else None for (h, w) in layer_sizes
         ]
         b = self._batch_all
         level_shapes = [tuple(u.shape[1:3]) for u in b.uv]
@@ -225,9 +237,14 @@ class SceneCache:
                 if hw is None:
                     per_layer.append(None)
                     continue
-                per_layer.append(plan_arrays_for_views(
-                    np.asarray(uv), hw[0], hw[1],
-                    weight_masks=None if wmasks is None else wmasks[li]))
+                wm = None if wmasks is None else wmasks[li]
+                if n_bands > 1:
+                    per_layer.append(plan_arrays_banded(
+                        np.asarray(uv), hw[0], hw[1], n_bands,
+                        weight_masks=wm))
+                else:
+                    per_layer.append(plan_arrays_for_views(
+                        np.asarray(uv), hw[0], hw[1], weight_masks=wm))
             self._view_plans.append(per_layer)
 
     def _assemble_plans(self, pos):
@@ -240,7 +257,10 @@ class SceneCache:
                 if plan is None:
                     layer_plans.append(None)
                     continue
-                layer_plans.append(jax.tree.map(lambda a: a[pos], plan))
+                if plan.tex_h_global:  # banded: view axis is axis 1
+                    layer_plans.append(jax.tree.map(lambda a: a[:, pos], plan))
+                else:
+                    layer_plans.append(jax.tree.map(lambda a: a[pos], plan))
             levels.append(tuple(layer_plans))
         return tuple(levels)
 

@@ -77,7 +77,8 @@ def eval_reprojection_consistency(scene_cache, styled_dir, out_dir=None,
                                   seed=42, pair_threshold=20,
                                   pair_threshold_short=1,
                                   pair_threshold_long=10, lpips_fn=None,
-                                  save_images=True, styled_paths=None):
+                                  save_images=True, styled_paths=None,
+                                  suffix=""):
     """Returns the metric dict and writes ``<timestamp>_output.json``.
 
     Styled frames are read from ``styled_dir`` as ``<dataset idx>.png`` (the
@@ -85,13 +86,19 @@ def eval_reprojection_consistency(scene_cache, styled_dir, out_dir=None,
     given (the standalone folder CLI); rgb/depth/pose come from the cache.
     The metric operates in Gatys space like the reference (styled images are
     pre()-transformed before the MSE, eval_image_folders.py:85-92).
+
+    ``save_images`` writes the reference's full per-frame diagnostic set
+    (eval_image_folders.py:333-351): rgb, styled, residual, and
+    styled_other / styled_reprojected for all three pairings — the images
+    the paper's qualitative claims are audited with. ``suffix`` tags the
+    output files (multi-style sweeps run one eval per style).
     """
     b = scene_cache._batch_all
     n = scene_cache.num_views
     hw = b.rgb.shape[1:3]
     out_dir = out_dir or styled_dir
     stamp = datetime.now().strftime("%d.%m.%Y-%H:%M:%S")
-    image_dir = join(out_dir, f"eval_image_data_{stamp}")
+    image_dir = join(out_dir, f"eval_image_data_{stamp}{suffix}")
     if save_images:
         os.makedirs(image_dir, exist_ok=True)
 
@@ -133,15 +140,31 @@ def eval_reprojection_consistency(scene_cache, styled_dir, out_dir=None,
             lpips_sums[key + "_lpips"] += float(lpips_fn(a01[None], b01[None])[0])
         return warped, mask
 
+    def save_img(arr_gatys, name):
+        img = np.clip(np.asarray(gatys_post(jnp.asarray(arr_gatys))), 0, 1)
+        Image.fromarray((img * 255 + 0.5).astype(np.uint8)).save(
+            join(image_dir, name))
+
     for i in range(n):
         warped, mask = eval_pair(i, pairs[i], "reprojection")
-        eval_pair(i, short_pairs[i], "reprojection_short")
-        eval_pair(i, long_pairs[i], "reprojection_long")
+        warped_s, _ = eval_pair(i, short_pairs[i], "reprojection_short")
+        warped_l, _ = eval_pair(i, long_pairs[i], "reprojection_long")
         if save_images:
-            resid = np.abs(styled[i] * mask[..., None] - warped * mask[..., None])
-            img = np.asarray(gatys_post(jnp.asarray(resid)))
-            Image.fromarray((img * 255 + 0.5).astype(np.uint8)).save(
-                join(image_dir, f"residual_image_{i}.jpg"))
+            # the reference's 9-image per-frame diagnostic set
+            # (eval_image_folders.py:333-351)
+            m3 = mask[..., None]
+            save_img(np.abs(styled[i] * m3 - warped * m3),
+                     f"residual_image_{i}.jpg")
+            save_img(np.asarray(b.rgb[i]), f"rgb_{i}.jpg")
+            save_img(styled[i], f"styled_{i}.jpg")
+            save_img(styled[pairs[i]], f"styled_other_{i}_{pairs[i]}.jpg")
+            save_img(warped, f"styled_reprojected_{i}.jpg")
+            save_img(styled[short_pairs[i]],
+                     f"styled_other_short_{i}_{short_pairs[i]}.jpg")
+            save_img(warped_s, f"styled_reprojected_short_{i}.jpg")
+            save_img(styled[long_pairs[i]],
+                     f"styled_other_long_{i}_{long_pairs[i]}.jpg")
+            save_img(warped_l, f"styled_reprojected_long_{i}.jpg")
 
     results = {
         "number_files": n,
@@ -154,6 +177,6 @@ def eval_reprojection_consistency(scene_cache, styled_dir, out_dir=None,
     }
     if lpips_fn is not None:
         results["accuracies"].update(lpips_sums)
-    with open(join(out_dir, f"{stamp}_output.json"), "w") as f:
+    with open(join(out_dir, f"{stamp}_output{suffix}.json"), "w") as f:
         json.dump(results, f, indent=2)
     return results

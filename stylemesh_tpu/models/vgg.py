@@ -273,6 +273,14 @@ def vgg_features(params, x, out_keys, pool="max", compute_dtype=None,
     # stop as soon as the deepest requested activation is produced
     last_needed = max(i for i, (name, _) in enumerate(_TRUNK) if name in wanted)
 
+    # The VGG is frozen everywhere in this framework (as in the reference);
+    # the fast flip-kernel VJP below returns ZERO weight/bias cotangents.
+    # stop_gradient here makes that the contract of vgg_features itself:
+    # param cotangents are zero under EVERY conv path (flip VJP, XLA auto
+    # VJP, Pallas), not just the default one — so flipping the env toggles
+    # can never silently turn "frozen" into "trainable".
+    params = jax.lax.stop_gradient(params)
+
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     pool_fn = _maxpool2 if pool == "max" else _avgpool2

@@ -60,6 +60,10 @@ class RunConfig:
     max_epochs: int = 1
     views_per_batch: int = 1
     data_parallel: bool = False
+    shard_atlas: bool = False  # row-band the atlas + Adam over the chips
+    # extra styles beyond style_image_path -> one texture per style, style
+    # axis sharded over the chips (parallel/multistyle.py)
+    extra_style_paths: tuple = ()
     save_texture: bool = True
     log_images_nth: int = -1  # save pred/rgb/mask image grids every N steps
     checkpoint_every_steps: int = 0  # 0 = only per-epoch texture exports
@@ -164,6 +168,16 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
     os.makedirs(log_dir, exist_ok=True)
     logger = MetricsLogger(log_dir)
 
+    n_dev = len(jax.devices())
+    shard_atlas = run.shard_atlas and n_dev > 1
+    multi_style = len(run.extra_style_paths) > 0
+    if run.shard_atlas and run.data_parallel:
+        raise ValueError("--shard_atlas and --data_parallel are exclusive "
+                         "(the atlas axis uses the whole mesh)")
+    if multi_style and (run.shard_atlas or run.data_parallel):
+        raise ValueError("multi-style sweeps use the whole mesh for the "
+                         "style axis; drop --shard_atlas/--data_parallel")
+
     if scene_cache is None:
         spec = discover_scene(run)
         print(f"Using scene: {spec.name}")
@@ -175,7 +189,8 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         ]
         scene_cache.attach_splat_plans(
             layer_sizes, use_angle_weight=pipe_cfg.use_angle_weight,
-            use_depth_scaling=pipe_cfg.use_depth_scaling)
+            use_depth_scaling=pipe_cfg.use_depth_scaling,
+            n_bands=n_dev if shard_atlas else 1)
     if vgg_params is None:
         vgg_params = load_vgg(run.vgg_model_path)
     if style_image is None:
@@ -190,7 +205,22 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         // run.views_per_batch)
     pipe_cfg = dataclasses.replace(pipe_cfg, steps_per_epoch=steps_per_epoch)
 
-    if run.data_parallel and len(jax.devices()) > 1:
+    if multi_style:
+        from stylemesh_tpu.parallel.multistyle import MultiStylePipeline
+
+        style_images = [jax.numpy.asarray(style_image)] + [
+            jax.numpy.asarray(load_style_image(p))
+            for p in run.extra_style_paths]
+        print(f"multi-style sweep: {len(style_images)} styles over "
+              f"{n_dev} chip(s)")
+        pipe = MultiStylePipeline(pipe_cfg, vgg_params, style_images)
+    elif shard_atlas:
+        from stylemesh_tpu.parallel.atlas import AtlasShardedPipeline
+
+        print(f"atlas-sharded training: texture row-banded over {n_dev} chips")
+        pipe = AtlasShardedPipeline(pipe_cfg, vgg_params,
+                                    jax.numpy.asarray(style_image))
+    elif run.data_parallel and n_dev > 1:
         from stylemesh_tpu.parallel.train import ShardedTexturePipeline
 
         pipe = ShardedTexturePipeline(pipe_cfg, vgg_params,
@@ -200,6 +230,9 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
                                jax.numpy.asarray(style_image))
     state = pipe.init()
     if run.resume_from:
+        if multi_style:
+            raise ValueError("--resume_from is not supported for "
+                             "multi-style sweeps yet")
         from stylemesh_tpu.utils.checkpoint import restore_train_state
 
         state = restore_train_state(state, run.resume_from)
@@ -256,28 +289,26 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
             step_no = host_step
             timer.tick()
             if pending is not None:
-                logger.batch_losses(
-                    "train", {k: float(v) for k, v in pending[0].items()},
-                    pending[1])
+                logger.batch_losses("train", _loss_scalars(pending[0]),
+                                    pending[1])
             pending = (losses, step_no)
-            if (run.checkpoint_every_steps
+            if (run.checkpoint_every_steps and not multi_style
                     and step_no % run.checkpoint_every_steps == 0):
                 from stylemesh_tpu.utils.checkpoint import save_train_state
 
                 save_train_state(state, join(log_dir, "ckpt"))
-            if run.log_images_nth > 0 and step_no % run.log_images_nth == 0:
+            if run.log_images_nth > 0 and not multi_style \
+                    and step_no % run.log_images_nth == 0:
                 _log_image_grid(logger, state, batch, step_no)
         if pending is not None:
-            logger.batch_losses(
-                "train", {k: float(v) for k, v in pending[0].items()},
-                pending[1])
+            logger.batch_losses("train", _loss_scalars(pending[0]),
+                                pending[1])
         # validation
         for chunk in batched(epoch_indices(val_idx, "sequential"),
                              run.views_per_batch):
             batch = scene_cache.get_batch(chunk)
             losses = pipe.eval_step(state, batch)
-            logger.batch_losses("val", {k: float(v) for k, v in losses.items()},
-                                host_step)
+            logger.batch_losses("val", _loss_scalars(losses), host_step)
         tr = logger.epoch_means("train", epoch)
         va = logger.epoch_means("val", epoch)
         print(f"epoch {epoch}: train {tr} val {va} "
@@ -285,11 +316,43 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
               f"{timer.steps_per_sec * run.views_per_batch:.2f} views/s)")
 
         if run.save_texture:
-            save_texture_layers(state.texture, log_dir, f"epoch_{epoch}")
-            save_texture_image(state.texture, log_dir, f"epoch_{epoch}_")
-    save_texture_npz(state.texture, join(log_dir, "texture.npz"))
+            for s, tex in _export_textures(state):
+                tag = f"epoch_{epoch}" + (f"_style{s}" if s is not None else "")
+                save_texture_layers(tex, log_dir, tag)
+                save_texture_image(tex, log_dir, tag + "_")
+    for s, tex in _export_textures(state):
+        name = "texture.npz" if s is None else f"texture_style{s}.npz"
+        save_texture_npz(tex, join(log_dir, name))
     logger.close()
     return state, log_dir, scene_cache
+
+
+def _loss_scalars(losses):
+    """Loss dict -> float scalars. Multi-style losses carry a leading style
+    axis: log the style mean under the plain key plus each style's total."""
+    out = {}
+    for k, v in losses.items():
+        arr = np.asarray(v)
+        if arr.ndim == 0:
+            out[k] = float(arr)
+        else:
+            out[k] = float(arr.mean())
+            if k == "total":
+                for s in range(arr.shape[0]):
+                    out[f"total_style{s}"] = float(arr[s])
+    return out
+
+
+def _export_textures(state):
+    """Yield (style_index | None, Texture) pairs for export — one per style
+    for multi-style sweeps, a single (None, texture) otherwise."""
+    if hasattr(state, "textures"):  # MultiStyleState
+        from stylemesh_tpu.parallel.multistyle import texture_for_style
+
+        for s in range(state.textures.layers[0].shape[0]):
+            yield s, texture_for_style(state, s)
+    else:
+        yield None, state.texture
 
 
 def _log_image_grid(logger, state, batch, step):

@@ -80,6 +80,7 @@ class AtlasShardedPipeline(TexturePipeline):
         assert config.texture_height % d == 0, (config.texture_height, d)
         super().__init__(config, vgg_params, style_image)
         self._sharded_step = None
+        self._sharded_eval = None
 
     # ------------------------------------------------------------ sharding
 
@@ -180,3 +181,28 @@ class AtlasShardedPipeline(TexturePipeline):
         if self._sharded_step is None:
             self._build_sharded_step(state, batch, aux)
         return self._sharded_step(state, batch, aux)
+
+    def _local_eval(self, state, batch, aux):
+        batch = batch._replace(splat_plans=jax.tree.map(
+            lambda a: jnp.squeeze(a, 0), batch.splat_plans))
+        _, (losses, _) = self.loss_fn(state.texture, batch,
+                                      state.gram_cache, aux)
+        return losses
+
+    def eval_step(self, state: TrainState, batch, aux=None):
+        """Validation losses with the banded texture/plans (no update)."""
+        assert batch.splat_plans is not None
+        if aux is None:
+            aux = self.prepare_batch(batch)
+        if self._sharded_eval is None:
+            state_specs = jax.tree.map(self._band_spec, state)
+            batch_specs = jax.tree.map(lambda _: P(), batch)._replace(
+                splat_plans=jax.tree.map(lambda _: P(self.axis_name),
+                                         batch.splat_plans))
+            smapped = jax.shard_map(
+                self._local_eval, mesh=self.mesh, check_vma=False,
+                in_specs=(state_specs, batch_specs,
+                          jax.tree.map(lambda _: P(), aux)),
+                out_specs=P())
+            self._sharded_eval = jax.jit(smapped)
+        return self._sharded_eval(state, batch, aux)

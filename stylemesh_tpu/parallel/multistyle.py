@@ -65,6 +65,7 @@ class MultiStylePipeline:
             self.num_styles, self.mesh.size)
         self.optimizer = self.base.optimizer
         self._jit_step = None
+        self._jit_eval = None
 
     def prepare_batch(self, batch):
         """Style-independent batch precompute (shared by all styles)."""
@@ -144,3 +145,45 @@ class MultiStylePipeline:
         if self._jit_step is None:
             self._build_step(state, batch, aux)
         return self._jit_step(state, self.style_targets, batch, aux)
+
+    def _local_eval(self, state: MultiStyleState, targets, batch, aux):
+        s_local = state.textures.layers[0].shape[0]
+        losses = []
+        for s in range(s_local):
+            tex_s = Texture(layers=tuple(l[s] for l in state.textures.layers))
+            tgt_s = jax.tree.map(lambda x: x[s], targets)
+            _, (ls, _) = self.base.loss_with_targets(
+                tex_s, tgt_s, batch, None, aux)
+            losses.append(ls)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *losses)
+
+    def eval_step(self, state, batch, aux=None):
+        """Per-style validation losses without an update (leading style
+        axis, like train_step's loss dict)."""
+        rep = replicate_sharding(self.mesh)
+        batch = jax.device_put(batch, jax.tree.map(lambda _: rep, batch))
+        if aux is None:
+            aux = self.prepare_batch(batch)
+        if self._jit_eval is None:
+            state_specs = jax.tree.map(self._style_spec, state)
+            target_specs = jax.tree.map(lambda _: P(self.axis_name),
+                                        self.style_targets)
+            rep_spec = lambda t: jax.tree.map(lambda _: P(), t)
+            smapped = jax.shard_map(
+                self._local_eval, mesh=self.mesh, check_vma=False,
+                in_specs=(state_specs, target_specs, rep_spec(batch),
+                          rep_spec(aux)),
+                out_specs=P(self.axis_name))
+            self._jit_eval = jax.jit(smapped)
+        return self._jit_eval(state, self.style_targets, batch, aux)
+
+    def texture_for_style(self, state: MultiStyleState, s: int) -> Texture:
+        """Materialize style ``s``'s texture as a plain (unsharded) Texture
+        for export / post-train rendering."""
+        return texture_for_style(state, s)
+
+
+def texture_for_style(state: MultiStyleState, s: int) -> Texture:
+    """Style ``s``'s texture pulled to host as a plain Texture."""
+    return Texture(layers=tuple(
+        jnp.asarray(jax.device_get(l[s])) for l in state.textures.layers))

@@ -5,7 +5,7 @@ The TPU-era replacement of the reference's render pipeline
 executables): given a UV-unwrapped mesh and per-frame poses, writes the exact
 on-disk contract the data layer (and the reference!) consumes:
 
-    <scene>/uv/<id>.npy                 [H, W, 3]  (u, v, lod placeholder)
+    <scene>/uv/<id>.npy                 [H, W, 3]  (u, v, mip LOD)
     <scene>/uv/<id>.angle.npy           [H, W, 3]  cos angle replicated
     <scene>/uv/<id>.rendered_depth.npy  [H, W, 3]  linear depth replicated
     <scene>/uv_<height>/<id>.npy        pyramid levels (5 heights 256..960)
