@@ -83,13 +83,15 @@ struct Framebuffer {
   std::vector<float> angle;   // [h*w]
   std::vector<int32_t> face;  // face id per pixel (-1 = none)
   std::vector<float> lod;     // mip lod per pixel
+  std::vector<float> attr3;   // optional interpolated vec3 (vertex colors)
 
-  Framebuffer(int hh, int ww) : h(hh), w(ww) {
+  Framebuffer(int hh, int ww, bool with_attr3 = false) : h(hh), w(ww) {
     zbuf.assign((size_t)h * w, INFINITY);
     uv.assign((size_t)h * w * 2, 0.f);
     angle.assign((size_t)h * w, 0.f);
     face.assign((size_t)h * w, -1);
     lod.assign((size_t)h * w, 0.f);
+    if (with_attr3) attr3.assign((size_t)h * w * 3, 0.f);
   }
 };
 
@@ -97,7 +99,7 @@ struct Framebuffer {
 // interpolation (callers clip against the near plane first).
 void raster_face(Framebuffer& fb, const Camera& cam, int face_id,
                  const V3 pc[3], const float uvc[3][2], const V3 nc[3],
-                 float tex_w, float tex_h) {
+                 float tex_w, float tex_h, const V3* cc = nullptr) {
   const float eps = 1e-9f;
   if (pc[0].z <= eps || pc[1].z <= eps || pc[2].z <= eps) return;
 
@@ -176,6 +178,11 @@ void raster_face(Framebuffer& fb, const Camera& cam, int face_id,
       fb.angle[idx] = cosang;
       fb.face[idx] = face_id;
       fb.lod[idx] = 0.5f * std::log2(std::max(rho2, 1e-20f));
+      if (cc) {
+        fb.attr3[idx * 3 + 0] = l0 * cc[0].x + l1 * cc[1].x + l2 * cc[2].x;
+        fb.attr3[idx * 3 + 1] = l0 * cc[0].y + l1 * cc[1].y + l2 * cc[2].y;
+        fb.attr3[idx * 3 + 2] = l0 * cc[0].z + l1 * cc[1].z + l2 * cc[2].z;
+      }
     }
   }
 }
@@ -188,6 +195,7 @@ struct ClipVert {
   V3 p;
   float u, v;
   V3 n;
+  V3 c;  // optional vertex color (vertex_color.frag / color3D.frag)
 };
 
 static inline ClipVert lerp_cv(const ClipVert& a, const ClipVert& b, float t) {
@@ -198,15 +206,19 @@ static inline ClipVert lerp_cv(const ClipVert& a, const ClipVert& b, float t) {
   o.v = a.v + (b.v - a.v) * t;
   o.n = {a.n.x + (b.n.x - a.n.x) * t, a.n.y + (b.n.y - a.n.y) * t,
          a.n.z + (b.n.z - a.n.z) * t};
+  o.c = {a.c.x + (b.c.x - a.c.x) * t, a.c.y + (b.c.y - a.c.y) * t,
+         a.c.z + (b.c.z - a.c.z) * t};
   return o;
 }
 
 void clip_and_raster(Framebuffer& fb, const Camera& cam, int face_id,
                      const V3 pc[3], const float uvc[3][2], const V3 nc[3],
-                     float tex_w, float tex_h, float znear = 0.01f) {
-  ClipVert in[3] = {{pc[0], uvc[0][0], uvc[0][1], nc[0]},
-                    {pc[1], uvc[1][0], uvc[1][1], nc[1]},
-                    {pc[2], uvc[2][0], uvc[2][1], nc[2]}};
+                     float tex_w, float tex_h, const V3* cc = nullptr,
+                     float znear = 0.01f) {
+  V3 zero = {0, 0, 0};
+  ClipVert in[3] = {{pc[0], uvc[0][0], uvc[0][1], nc[0], cc ? cc[0] : zero},
+                    {pc[1], uvc[1][0], uvc[1][1], nc[1], cc ? cc[1] : zero},
+                    {pc[2], uvc[2][0], uvc[2][1], nc[2], cc ? cc[2] : zero}};
   ClipVert out[4];
   int n_out = 0;
   for (int i = 0; i < 3; i++) {
@@ -225,7 +237,9 @@ void clip_and_raster(Framebuffer& fb, const Camera& cam, int face_id,
                        {out[k - 1].u, out[k - 1].v},
                        {out[k].u, out[k].v}};
     V3 tn[3] = {out[0].n, out[k - 1].n, out[k].n};
-    raster_face(fb, cam, face_id, tp, tuv, tn, tex_w, tex_h);
+    V3 tc[3] = {out[0].c, out[k - 1].c, out[k].c};
+    raster_face(fb, cam, face_id, tp, tuv, tn, tex_w, tex_h,
+                cc ? tc : nullptr);
   }
 }
 
@@ -384,6 +398,52 @@ int64_t sm_render_textured(const float* vertices, int64_t n_verts,
       float val = (rgb0[c] * (1 - frac) + rgb1[c] * frac) * shade;
       out_rgb[i * 3 + c] = std::min(std::max(val, 0.f), 1.f);
     }
+  }
+  return covered;
+}
+
+// Per-vertex-color render — the reference's vertex_color shader mode
+// (scripts/scannet/render_uv/shader/vertex_color.frag, mesh_colors flag
+// src/main.cpp:77-78; Matterport color3D.frag): draws interpolated vertex
+// colors fully opaque, no shading. This is the output path of the
+// segmentation-recoloring and mesh-editing demos (segmentation_provider /
+// mesh_transformer). colors [n_verts*3] in [0,1]; out_rgb [h*w*3]
+// (background 0); out_depth [h*w] nullable (linear eye depth, as the
+// commented color3D.frag depth branch). Returns covered pixel count.
+int64_t sm_render_vertex_colors(const float* vertices, int64_t n_verts,
+                                const int32_t* faces, int64_t n_faces,
+                                const float* colors, const float* normals,
+                                const float* cam2world,
+                                float fx, float fy, float cx, float cy,
+                                int32_t h, int32_t w,
+                                float* out_rgb, float* out_depth) {
+  (void)n_verts;
+  Camera cam = make_camera(cam2world, fx, fy, cx, cy);
+  Framebuffer fb(h, w, /*with_attr3=*/true);
+
+  float zero2[3][2] = {{0, 0}, {0, 0}, {0, 0}};
+  for (int64_t f = 0; f < n_faces; f++) {
+    const int32_t* idx = faces + f * 3;
+    V3 pc[3], nc[3], cc[3];
+    for (int k = 0; k < 3; k++) {
+      const float* p = vertices + (size_t)idx[k] * 3;
+      pc[k] = cam.to_cam(p);
+      const float* n = normals + (size_t)idx[k] * 3;
+      nc[k] = cam.rot(n);
+      const float* c = colors + (size_t)idx[k] * 3;
+      cc[k] = {c[0], c[1], c[2]};
+    }
+    clip_and_raster(fb, cam, (int)f, pc, zero2, nc, 1.f, 1.f, cc);
+  }
+
+  int64_t covered = 0;
+  for (int64_t i = 0; i < (int64_t)h * w; i++) {
+    bool hit = std::isfinite(fb.zbuf[i]) && fb.face[i] >= 0;
+    for (int c = 0; c < 3; c++)
+      out_rgb[i * 3 + c] =
+          hit ? std::min(std::max(fb.attr3[i * 3 + c], 0.f), 1.f) : 0.f;
+    if (out_depth) out_depth[i] = hit ? fb.zbuf[i] : 0.f;
+    covered += hit;
   }
   return covered;
 }

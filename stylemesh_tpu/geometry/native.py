@@ -64,6 +64,12 @@ def load_library(rebuild=False):
         ctypes.c_int32, ctypes.c_int32, f32p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, f32p,
     ]
+    lib.sm_render_vertex_colors.restype = ctypes.c_int64
+    lib.sm_render_vertex_colors.argtypes = [
+        f32p, ctypes.c_int64, i32p, ctypes.c_int64, f32p, f32p, f32p,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int32, ctypes.c_int32, f32p, f32p,
+    ]
     _lib = lib
     return lib
 
@@ -96,6 +102,28 @@ def rasterize_mesh_native(vertices, faces, uvs, normals, cam2world,
                      float(k[0, 0]), float(k[1, 1]), float(k[0, 2]), float(k[1, 2]),
                      h, w, out_uv, out_angle, out_depth, out_lod)
     return out_uv, out_angle, out_depth, out_depth > 0, out_lod
+
+
+def render_vertex_colors_native(vertices, faces, colors, normals, cam2world,
+                                intrinsics, hw, return_depth=False):
+    """Per-vertex-color render — the reference's vertex_color shader mode
+    (scripts/scannet/render_uv/shader/vertex_color.frag, the ``mesh_colors``
+    flag src/main.cpp:77-78; Matterport color3D.frag). The output path for
+    segmentation recoloring / mesh-editing demos (geometry/segmentation.py).
+
+    ``colors``: [n_verts, 3] in [0, 1]. Returns [H, W, 3] float (background
+    0), plus the linear-depth map when ``return_depth``."""
+    lib = load_library()
+    v, f, col, n, c = _prep(vertices, faces, colors, normals, cam2world)
+    k = np.asarray(intrinsics, np.float32)
+    h, w = hw
+    out = np.zeros((h, w, 3), np.float32)
+    out_depth = np.zeros((h, w), np.float32)
+    lib.sm_render_vertex_colors(v, len(v), f, len(f), col, n, c,
+                                float(k[0, 0]), float(k[1, 1]),
+                                float(k[0, 2]), float(k[1, 2]), h, w,
+                                out, out_depth)
+    return (out, out_depth) if return_depth else out
 
 
 def render_textured_native(vertices, faces, uvs, normals, cam2world,

@@ -53,9 +53,10 @@ def _rasterize_impl(verts_cam, face_verts, face_valid, uvs_f, normals_f,
         sy = v[..., 1] / jnp.where(jnp.abs(z) < eps, eps, z) * fy + cy
         return jnp.stack([sx, sy], axis=-1), z
 
+    n_attr = uvs_f.shape[-1]  # 2 for plain uv; +3 with vertex colors
     init = (
         jnp.full((h * w,), jnp.inf, jnp.float32),  # zbuf
-        jnp.zeros((h * w, 2), jnp.float32),  # uv
+        jnp.zeros((h * w, n_attr), jnp.float32),  # uv (+ extra attributes)
         jnp.zeros((h * w,), jnp.float32),  # cos angle
         jnp.zeros((h * w,), jnp.float32),  # mip lod
     )
@@ -105,7 +106,7 @@ def _rasterize_impl(verts_cam, face_verts, face_valid, uvs_f, normals_f,
                    + l2[..., None] * attr[:, None, 2] / z[:, None, 2:3])
             return acc * z_pix[..., None]
 
-        uv_pix = pinterp(fuv)  # [F, P, 2]
+        uv_pix = pinterp(fuv)  # [F, P, n_attr]
         n_pix = pinterp(fn)  # [F, P, 3]
         pos_pix = pinterp(fv)  # [F, P, 3] view-space position
 
@@ -125,14 +126,14 @@ def _rasterize_impl(verts_cam, face_verts, face_valid, uvs_f, normals_f,
             [gl_x, -jnp.sum(gl_x, -1, keepdims=True)], -1) / area_safe[:, None]
         gl_y = jnp.concatenate(
             [gl_y, -jnp.sum(gl_y, -1, keepdims=True)], -1) / area_safe[:, None]
-        uv_over_z = fuv / z[..., None]  # [F, 3, 2]
+        uv_over_z = fuv[..., :2] / z[..., None]  # [F, 3, 2]
         gnum_x = jnp.einsum("fi,fik->fk", gl_x, uv_over_z)  # [F, 2]
         gnum_y = jnp.einsum("fi,fik->fk", gl_y, uv_over_z)
         gden_x = jnp.sum(gl_x / z, axis=1)  # [F]
         gden_y = jnp.sum(gl_y / z, axis=1)
-        duv_dx = (gnum_x[:, None] - uv_pix * gden_x[:, None, None]) \
+        duv_dx = (gnum_x[:, None] - uv_pix[..., :2] * gden_x[:, None, None]) \
             * z_pix[..., None] * 1024.0  # [F, P, 2]
-        duv_dy = (gnum_y[:, None] - uv_pix * gden_y[:, None, None]) \
+        duv_dy = (gnum_y[:, None] - uv_pix[..., :2] * gden_y[:, None, None]) \
             * z_pix[..., None] * 1024.0
         rho2 = jnp.maximum(jnp.sum(duv_dx * duv_dx, -1),
                            jnp.sum(duv_dy * duv_dy, -1))  # [F, P]
@@ -157,7 +158,7 @@ def _rasterize_impl(verts_cam, face_verts, face_valid, uvs_f, normals_f,
 
     hit = jnp.isfinite(zbuf)
     depth = jnp.where(hit, zbuf, 0.0).reshape(h, w)
-    uv = jnp.where(hit[:, None], uv_out, 0.0).reshape(h, w, 2)
+    uv = jnp.where(hit[:, None], uv_out, 0.0).reshape(h, w, n_attr)
     ang = jnp.where(hit, ang_out, 0.0).reshape(h, w)
     lod = jnp.where(hit, lod_out, 0.0).reshape(h, w)
     return uv, ang, depth, hit.reshape(h, w), lod
@@ -199,3 +200,44 @@ def rasterize_mesh(vertices, faces, uvs, normals, cam2world, intrinsics, hw,
         jnp.asarray(uvs_f), jnp.asarray(normals_f),
         float(k[0, 0]), float(k[1, 1]), float(k[0, 2]), float(k[1, 2]),
         tuple(hw), face_chunk)
+
+
+def render_vertex_colors(vertices, faces, colors, normals, cam2world,
+                         intrinsics, hw, face_chunk=256, return_depth=False):
+    """JAX twin of the reference's vertex_color shader mode
+    (scripts/scannet/render_uv/shader/vertex_color.frag, ``mesh_colors``
+    flag src/main.cpp:77-78; Matterport color3D.frag): perspective-correct
+    interpolated per-vertex colors, fully opaque, no shading — the output
+    path for segmentation recoloring / mesh-editing demos.
+
+    ``colors``: ``[Nv, 3]`` in [0, 1]. Returns ``[H, W, 3]`` float
+    (background 0), plus the linear eye-depth map when ``return_depth``.
+    Colors ride the generalized attribute channels of ``_rasterize_impl``
+    (uv slots 2:5)."""
+    vertices = np.asarray(vertices, np.float32)
+    faces_np = np.asarray(faces, np.int32)
+    colors = np.asarray(colors, np.float32)
+    normals = np.asarray(normals, np.float32)
+    cam2world = np.asarray(cam2world, np.float32)
+    k = np.asarray(intrinsics, np.float32)
+
+    world2cam = np.linalg.inv(cam2world)
+    r, t = world2cam[:3, :3], world2cam[:3, 3]
+    verts_cam = vertices @ r.T + t
+    normals_cam = normals @ r.T
+
+    faces_np, valid = _pad_faces(faces_np, face_chunk)
+    face_verts = verts_cam[faces_np]
+    # uv channels 0:2 are unused dummies; 2:5 carry the vertex colors
+    attrs = np.concatenate(
+        [np.zeros((len(colors), 2), np.float32), colors], axis=-1)
+    attrs_f = attrs[faces_np]
+    normals_f = normals_cam[faces_np]
+
+    out, _, depth, hit, _ = _rasterize_impl(
+        jnp.asarray(verts_cam), jnp.asarray(face_verts), jnp.asarray(valid),
+        jnp.asarray(attrs_f), jnp.asarray(normals_f),
+        float(k[0, 0]), float(k[1, 1]), float(k[0, 2]), float(k[1, 2]),
+        tuple(hw), face_chunk)
+    rgb = jnp.clip(out[..., 2:5], 0.0, 1.0) * hit[..., None]
+    return (rgb, depth) if return_depth else rgb

@@ -263,3 +263,41 @@ def render_mipmap_frames(mesh_path, pose_dir, intrinsics, intrinsics_size,
         Image.fromarray((np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)).save(path)
         paths.append(path)
     return paths
+
+
+def render_vertex_color_frames(mesh_path, pose_dir, intrinsics,
+                               intrinsics_size, colors, out_dir,
+                               hw=(480, 640), frame_ids=None):
+    """Render every pose with interpolated per-vertex colors — the
+    reference's ``mesh_colors`` render mode
+    (scripts/scannet/render_uv/src/main.cpp:77-78, shader
+    vertex_color.frag; Matterport color3D.frag). The output path for
+    segmentation-recolor and mesh-edit demos: pass a [Nv, 3] color array,
+    e.g. a palette indexed by SegmentationProvider object ids."""
+    from PIL import Image
+
+    from stylemesh_tpu.geometry.native import render_vertex_colors_native
+
+    mesh = load_mesh(mesh_path)
+    colors = np.asarray(colors, np.float32)
+    assert len(colors) == len(mesh.vertices), \
+        f"colors {len(colors)} != vertices {len(mesh.vertices)}"
+    os.makedirs(out_dir, exist_ok=True)
+    pose_files = sorted((f for f in os.listdir(pose_dir) if f.endswith(".txt")),
+                        key=lambda x: int(x.split(".")[0]))
+    if frame_ids is not None:
+        wanted = {str(i) for i in frame_ids}
+        pose_files = [f for f in pose_files if f.split(".")[0] in wanted]
+    k = rescale_intrinsics(intrinsics, intrinsics_size, (hw[1], hw[0]))
+    paths = []
+    for pf in pose_files:
+        frame = pf.split(".")[0]
+        cam2world = load_extrinsics(join(pose_dir, pf))
+        if not np.all(np.isfinite(cam2world)):
+            continue
+        img = render_vertex_colors_native(
+            mesh.vertices, mesh.faces, colors, mesh.normals, cam2world, k, hw)
+        path = join(out_dir, f"{frame}.png")
+        Image.fromarray((np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)).save(path)
+        paths.append(path)
+    return paths

@@ -129,3 +129,69 @@ def test_native_textured_render():
     reds = img[..., 0][covered]
     assert reds.min() >= 0.69 and reds.max() <= 1.0
     assert (img[..., 1][covered] == 0).all()
+
+
+def test_vertex_color_render_analytic():
+    """Vertex-color mode (reference vertex_color.frag / color3D.frag): a
+    single axis-aligned quad with corner colors must interpolate linearly
+    in screen space (constant depth => perspective-correct == affine)."""
+    verts = np.asarray([(-2, -2, 4), (2, -2, 4), (2, 2, 4), (-2, 2, 4)],
+                       np.float32)
+    faces = np.asarray([(0, 1, 2), (0, 2, 3)], np.int32)
+    colors = np.asarray([(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0)],
+                        np.float32)
+    normals = np.tile(np.asarray([0, 0, -1], np.float32), (4, 1))
+    cam = np.eye(4, dtype=np.float32)
+    k = np.array([[40.0, 0, 32.0], [0, 40.0, 24.0], [0, 0, 1]], np.float32)
+    rgb, depth = native.render_vertex_colors_native(
+        verts, faces, colors, normals, cam, k, (48, 64), return_depth=True)
+    assert rgb.shape == (48, 64, 3)
+    hit = rgb.sum(-1) > 0
+    assert hit.sum() > 1000
+    np.testing.assert_allclose(depth[hit], 4.0, rtol=1e-5)
+    # near the projected corners, colors approach the vertex colors
+    # corner 0 (-2,-2,4) -> screen (40*-2/4+32, 40*-2/4+24) = (12, 4)
+    assert rgb[5, 13, 0] > 0.85 and rgb[5, 13, 1] < 0.15
+    # corner 2 (2,2,4) -> (52, 44): blue
+    assert rgb[43, 51, 2] > 0.85 and rgb[43, 51, 0] < 0.15
+    # center (32, 24): average-ish mix, all channels present
+    assert (rgb[24, 32] > 0.2).sum() >= 2
+
+
+def test_vertex_color_native_matches_jax():
+    from stylemesh_tpu.geometry.rasterize import render_vertex_colors
+
+    verts, faces, uvs, normals, cam, k = _scene()
+    rng = np.random.default_rng(7)
+    colors = rng.random((len(verts), 3)).astype(np.float32)
+    hw = (48, 64)
+    rgb_n = native.render_vertex_colors_native(
+        verts, faces, colors, normals, cam, k, hw)
+    rgb_j = np.asarray(render_vertex_colors(
+        verts, faces, colors, normals, cam, k, hw))
+    hit_n = rgb_n.sum(-1) > 0
+    hit_j = rgb_j.sum(-1) > 0
+    assert (hit_n == hit_j).mean() > 0.99
+    both = hit_n & hit_j
+    assert both.sum() > 500
+    np.testing.assert_allclose(rgb_n[both], rgb_j[both], atol=2e-4)
+
+
+def test_vertex_color_segmentation_recolor():
+    """End-to-end: recolor a mesh per segmentation object id and render it —
+    the reference's mesh_colors output path (src/main.cpp:77-78)."""
+    from stylemesh_tpu.geometry.mesh_io import Mesh
+
+    verts, faces, uvs, normals, cam, k = _scene()
+    # quad 0 (verts 0-3) = object 0 -> red; quad 1 (verts 4-7) = obj 1 -> green
+    object_ids = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    palette = np.asarray([(1, 0, 0), (0, 1, 0)], np.float32)
+    colors = palette[object_ids]
+    rgb = native.render_vertex_colors_native(
+        verts, faces, colors, normals, cam, k, (48, 64))
+    hit = rgb.sum(-1) > 0
+    assert hit.sum() > 500
+    # flat per-object colors: every covered pixel is (~1,0,0) or (0,~1,0)
+    near = np.minimum(np.abs(rgb[hit]), np.abs(rgb[hit] - 1.0))
+    assert near.max() < 1e-5
+    assert (rgb[..., 0] > 0.99).any() and (rgb[..., 1] > 0.99).any()
