@@ -123,6 +123,9 @@ def build_parser():
                         "where that kernel does not engage")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--no_post_steps", default=False, action="store_true")
+    p.add_argument("--tb_logs", default=False, action="store_true",
+                   help="also write TensorBoard event files (scalars + image "
+                        "grids; utils/tb_events.py — no TF dependency)")
     return p
 
 
@@ -202,6 +205,7 @@ def configs_from_args(args):
         save_texture=args.save_texture,
         log_images_nth=args.log_images_nth,
         log_dir=args.log_dir,
+        tb_logs=args.tb_logs,
         vgg_model_path=args.vgg_gatys_model_path,
         style_image_path=style_paths[0],
         seed=args.seed,

@@ -122,49 +122,66 @@ def eval_reprojection_consistency(scene_cache, styled_dir, out_dir=None,
     lpips_sums = {"reprojection_lpips": 0.0, "reprojection_short_lpips": 0.0,
                   "reprojection_long_lpips": 0.0}
 
-    def eval_pair(i, j, key):
-        mask_other = (depth[j] > 0).astype(np.float32)
-        warped, mask = reproject(
-            jnp.asarray(poses[i:i + 1]), jnp.asarray(poses[j:j + 1]),
-            jnp.asarray(intr[i:i + 1]), jnp.asarray(depth[i:i + 1]),
-            jnp.asarray(depth[j:j + 1]), jnp.asarray(styled[j:j + 1]),
-            jnp.asarray(mask_other[None]))
-        warped = np.asarray(warped)[0]
-        mask = np.asarray(mask)[0, ..., 0].astype(bool)
-        cur = styled[i]
-        accums[key].update(cur[mask], warped[mask])
+    # One batched reproject per pairing instead of one jit dispatch per frame
+    # (the reference loops frames serially, eval_image_folders.py:320-400; a
+    # 24-frame eval here used to pay 72 reproject dispatches + 144 LPIPS
+    # calls at batch 1 — Python-serial host dispatch dominated the post
+    # chain's wall-clock). LPIPS runs in chunks to bound HBM.
+    def eval_pairing(pair_idx, key, chunk=8):
+        j = np.asarray(pair_idx)
+        warped_all, mask_all = [], []
+        for c0 in range(0, n, chunk):
+            ii = np.arange(c0, min(c0 + chunk, n))
+            jj = j[ii]
+            mask_other = (depth[jj] > 0).astype(np.float32)
+            warped, mask = reproject(
+                jnp.asarray(poses[ii]), jnp.asarray(poses[jj]),
+                jnp.asarray(intr[ii]), jnp.asarray(depth[ii]),
+                jnp.asarray(depth[jj]), jnp.asarray(styled[jj]),
+                jnp.asarray(mask_other))
+            warped_all.append(np.asarray(warped))
+            mask_all.append(np.asarray(mask)[..., 0].astype(bool))
+        warped = np.concatenate(warped_all)
+        mask = np.concatenate(mask_all)
+        m3 = mask[..., None]
+        d = (styled - warped) * m3
+        accums[key].sq += float(np.sum(d.astype(np.float64) ** 2))
+        accums[key].n += int(mask.sum()) * styled.shape[-1]
         if lpips_fn is not None:
-            m3 = mask[..., None]
-            a01 = np.asarray(gatys_post(jnp.asarray(cur * m3)))
-            b01 = np.asarray(gatys_post(jnp.asarray(warped * m3)))
-            lpips_sums[key + "_lpips"] += float(lpips_fn(a01[None], b01[None])[0])
+            for c0 in range(0, n, chunk):
+                sl = slice(c0, min(c0 + chunk, n))
+                a01 = np.asarray(gatys_post(jnp.asarray(styled[sl] * m3[sl])))
+                b01 = np.asarray(gatys_post(jnp.asarray(warped[sl] * m3[sl])))
+                lpips_sums[key + "_lpips"] += float(
+                    np.sum(np.asarray(lpips_fn(a01, b01))))
         return warped, mask
+
+    warped_r, mask_r = eval_pairing(pairs, "reprojection")
+    warped_s, _ = eval_pairing(short_pairs, "reprojection_short")
+    warped_l, _ = eval_pairing(long_pairs, "reprojection_long")
 
     def save_img(arr_gatys, name):
         img = np.clip(np.asarray(gatys_post(jnp.asarray(arr_gatys))), 0, 1)
         Image.fromarray((img * 255 + 0.5).astype(np.uint8)).save(
             join(image_dir, name))
 
-    for i in range(n):
-        warped, mask = eval_pair(i, pairs[i], "reprojection")
-        warped_s, _ = eval_pair(i, short_pairs[i], "reprojection_short")
-        warped_l, _ = eval_pair(i, long_pairs[i], "reprojection_long")
-        if save_images:
+    if save_images:
+        for i in range(n):
             # the reference's 9-image per-frame diagnostic set
             # (eval_image_folders.py:333-351)
-            m3 = mask[..., None]
-            save_img(np.abs(styled[i] * m3 - warped * m3),
+            m3 = mask_r[i][..., None]
+            save_img(np.abs(styled[i] * m3 - warped_r[i] * m3),
                      f"residual_image_{i}.jpg")
             save_img(np.asarray(b.rgb[i]), f"rgb_{i}.jpg")
             save_img(styled[i], f"styled_{i}.jpg")
             save_img(styled[pairs[i]], f"styled_other_{i}_{pairs[i]}.jpg")
-            save_img(warped, f"styled_reprojected_{i}.jpg")
+            save_img(warped_r[i], f"styled_reprojected_{i}.jpg")
             save_img(styled[short_pairs[i]],
                      f"styled_other_short_{i}_{short_pairs[i]}.jpg")
-            save_img(warped_s, f"styled_reprojected_short_{i}.jpg")
+            save_img(warped_s[i], f"styled_reprojected_short_{i}.jpg")
             save_img(styled[long_pairs[i]],
                      f"styled_other_long_{i}_{long_pairs[i]}.jpg")
-            save_img(warped_l, f"styled_reprojected_long_{i}.jpg")
+            save_img(warped_l[i], f"styled_reprojected_long_{i}.jpg")
 
     results = {
         "number_files": n,

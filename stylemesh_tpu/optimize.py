@@ -69,6 +69,7 @@ class RunConfig:
     checkpoint_every_steps: int = 0  # 0 = only per-epoch texture exports
     resume_from: str = ""  # orbax checkpoint dir to restore
     log_dir: str = "runs"
+    tb_logs: bool = False  # also write TensorBoard event files
     vgg_model_path: str = ""
     style_image_path: str = ""
     seed: int = 0
@@ -166,7 +167,7 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
     version = len([d for d in os.listdir(run.log_dir) if d.startswith("version_")])
     log_dir = join(run.log_dir, f"version_{version}")
     os.makedirs(log_dir, exist_ok=True)
-    logger = MetricsLogger(log_dir)
+    logger = MetricsLogger(log_dir, tb=run.tb_logs)
 
     n_dev = len(jax.devices())
     shard_atlas = run.shard_atlas and n_dev > 1
@@ -401,22 +402,29 @@ def render_styled_frames(texture, scene_cache: SceneCache, out_dir,
 
     os.makedirs(out_dir, exist_ok=True)
 
+    from stylemesh_tpu.ops.resize import resize_nearest
+
     @jax.jit
     def render(texture, uv, mask):
+        # mask is at content resolution; resize to uv level resolution
+        m = resize_nearest(mask, uv.shape[1:3])
         img = gatys_post(sample_texture(texture, uv))
-        return img * mask
+        return img * m
 
+    # frames render in chunks of 8 (one jit dispatch per chunk, not per
+    # frame — the Python-serial per-frame loop dominated post wall-clock)
     paths = []
     b = scene_cache._batch_all
     uv = b.uv[level]
-    for p, idx in enumerate(scene_cache.indices):
-        mask_r = np.asarray(b.mask[p])
-        # mask is at content resolution; resize to uv level resolution
-        from stylemesh_tpu.ops.resize import resize_nearest
-
-        m = resize_nearest(jnp.asarray(mask_r), uv.shape[1:3])
-        img = np.asarray(render(texture, jnp.asarray(uv[p]), m))
-        path = join(out_dir, f"{idx}.png")
-        Image.fromarray((np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)).save(path)
-        paths.append(path)
+    n = len(scene_cache.indices)
+    chunk = 8
+    for c0 in range(0, n, chunk):
+        sl = slice(c0, min(c0 + chunk, n))
+        imgs = np.asarray(render(texture, jnp.asarray(uv[sl]),
+                                 jnp.asarray(np.asarray(b.mask[sl]))))
+        for o, idx in enumerate(scene_cache.indices[sl]):
+            path = join(out_dir, f"{idx}.png")
+            Image.fromarray((np.clip(imgs[o], 0, 1) * 255 + 0.5)
+                            .astype(np.uint8)).save(path)
+            paths.append(path)
     return paths

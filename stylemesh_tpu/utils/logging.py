@@ -17,17 +17,24 @@ import numpy as np
 
 
 class MetricsLogger:
-    def __init__(self, log_dir):
+    def __init__(self, log_dir, tb=False):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(join(log_dir, "metrics.jsonl"), "a")
         self._epoch_hist = defaultdict(list)
         self._t0 = time.perf_counter()
+        self._tb = None
+        if tb:
+            from stylemesh_tpu.utils.tb_events import TBEventWriter
+
+            self._tb = TBEventWriter(log_dir)
 
     def scalar(self, tag, value, step):
         rec = {"tag": tag, "value": float(value), "step": int(step),
                "t": round(time.perf_counter() - self._t0, 3)}
         self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
 
     def batch_losses(self, state, losses, step):
         for k, v in losses.items():
@@ -50,13 +57,19 @@ class MetricsLogger:
         arr = np.clip(np.asarray(img_hwc), 0.0, 1.0)
         path = join(self.log_dir, f"{tag.replace('/', '_')}_{step}.png")
         Image.fromarray((arr * 255 + 0.5).astype(np.uint8)).save(path)
+        if self._tb is not None:
+            self._tb.add_image(tag, arr, step)
         return path
 
     def flush(self):
         self._f.flush()
+        if self._tb is not None:
+            self._tb.flush()
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class StepTimer:
