@@ -51,8 +51,8 @@ def main():
     v = BATCH_VIEWS
     while True:
         try:
-            _run_bench(v)
-            return
+            result = _run_bench(v)
+            break
         except Exception as e:  # HBM headroom varies with kernel versions
             if not _is_oom(e) or v <= 1:
                 raise
@@ -61,17 +61,42 @@ def main():
             import gc
 
             gc.collect()
+    # second metric: the seam-heavy baked demo room (multi-island Blender-
+    # style atlas, real cross-island windows) — the honest real-scene number
+    # (VERDICT r2: the smooth synthetic scene hides the seam cost)
+    if os.environ.get("BENCH_DEMO") != "0":
+        try:
+            demo = _run_demo_bench(min(v, 4))
+            result["demo_room_views_per_sec"] = demo
+            result["demo_room_vs_baseline"] = round(
+                demo / REFERENCE_A100_VIEWS_PER_SEC, 3)
+        except Exception as e:
+            _log(f"demo-room bench failed ({type(e).__name__}): {e}")
+    print(json.dumps(result))
 
 
-def _run_bench(batch_views):
+def _demo_scene_root():
+    """Bake the demo-room scene once (idempotent, ~2 min cold)."""
+    import subprocess
+
+    root = os.environ.get("BENCH_DEMO_ROOT", "/tmp/stylemesh_demo_room")
+    probe = os.path.join(root, "train", "images")
+    if not os.path.isdir(probe):
+        _log("baking demo-room scene (one-time)...")
+        script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "make_demo_scene.py")
+        subprocess.run([sys.executable, script, root], check=True,
+                       capture_output=True)
+    return root
+
+
+def _bench_cfg(batch_views):
     import jax
     import jax.numpy as jnp
 
-    from stylemesh_tpu.data.synthetic import synthetic_view_batch
-    from stylemesh_tpu.models.pipeline import PipelineConfig, TexturePipeline
-    from stylemesh_tpu.models.vgg import init_vgg_params
+    from stylemesh_tpu.models.pipeline import PipelineConfig
 
-    cfg = PipelineConfig(
+    return PipelineConfig(
         texture_width=4096, texture_height=4096, hierarchical_layers=4,
         use_angle_weight=True, use_depth_scaling=True,
         content_weight=7e1, style_weight=1e-4, tex_reg_weight=5e3,
@@ -91,6 +116,76 @@ def _run_bench(batch_views):
                    and os.environ.get("BENCH_NO_REMAT") != "1"),
         remat_min_px=600_000,
     )
+
+
+def _time_steps(pipe, batch, label):
+    import jax
+
+    state = pipe.init()
+    _log(f"[{label}] compiling train step...")
+    t_c = time.perf_counter()
+    aux = jax.block_until_ready(pipe.prepare_batch(batch))
+    state, losses = pipe.train_step(state, batch, aux)
+    jax.block_until_ready(losses)
+    _log(f"[{label}] compile+first step: {time.perf_counter() - t_c:.1f}s")
+
+    t_p = time.perf_counter()
+    aux = jax.block_until_ready(pipe.prepare_batch(batch))
+    prepare_s = time.perf_counter() - t_p
+    _log(f"[{label}] prepare_batch: {prepare_s * 1e3:.1f} ms "
+         f"(amortized /{INDEX_REPEAT})")
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, losses = pipe.train_step(state, batch, aux)
+    jax.block_until_ready(losses)
+    _log(f"[{label}] {STEPS} steps: {time.perf_counter() - t0:.2f}s elapsed")
+    dt = time.perf_counter() - t0 + prepare_s * STEPS / INDEX_REPEAT
+    batch_views = batch.rgb.shape[0]
+    return STEPS * batch_views / dt
+
+
+def _run_demo_bench(batch_views):
+    import jax
+    import jax.numpy as jnp
+
+    from stylemesh_tpu.data.loading import SceneCache
+    from stylemesh_tpu.data.scenes import discover_scannet_scenes, select_scene
+    from stylemesh_tpu.models.pipeline import TexturePipeline
+    from stylemesh_tpu.models.vgg import init_vgg_params
+
+    root = _demo_scene_root()
+    cfg = _bench_cfg(batch_views)
+    scenes = discover_scannet_scenes(os.path.join(root, "train", "images"),
+                                     pyramid_levels=4, min_pyramid_height=256)
+    spec = select_scene(scenes, min_images=1)
+    cache = SceneCache(spec, resize_size=256)
+    _log("planning demo-room splat windows...")
+    layer_sizes = [(4096 // 2 ** i, 4096 // 2 ** i) for i in range(4)]
+    cache.attach_splat_plans(layer_sizes, use_angle_weight=True,
+                             use_depth_scaling=True)
+    # views spread around the orbit (adjacent orbit views are near-identical)
+    n = cache.num_views
+    idx = [cache.indices[(i * n) // batch_views] for i in range(batch_views)]
+    batch = jax.device_put(cache.get_batch(idx))
+
+    vgg = init_vgg_params(rng=0, scale=0.05)
+    rng = np.random.default_rng(0)
+    style = jnp.asarray(
+        (rng.random((1, 512, 683, 3), dtype=np.float32) - 0.45) * 255.0)
+    pipe = TexturePipeline(cfg, vgg, style)
+    return round(_time_steps(pipe, batch, "demo-room"), 3)
+
+
+def _run_bench(batch_views):
+    import jax
+    import jax.numpy as jnp
+
+    from stylemesh_tpu.data.synthetic import synthetic_view_batch
+    from stylemesh_tpu.models.pipeline import TexturePipeline
+    from stylemesh_tpu.models.vgg import init_vgg_params
+
+    cfg = _bench_cfg(batch_views)
     vgg = init_vgg_params(rng=0, scale=0.05)
     rng = np.random.default_rng(0)
     style = jnp.asarray((rng.random((1, 512, 683, 3), dtype=np.float32) - 0.45) * 255.0)
@@ -115,44 +210,22 @@ def _run_bench(batch_views):
 
     _log(f"devices: {jax.devices()}")
     # plans/uv are host numpy; place them once so steps don't re-upload
-    # ~100MB of schedules per call (the upload serializes dispatch)
+    # ~100MB of schedules per call (the upload serializes dispatch).
+    # The batch-constant precompute (prepare_batch) is timed separately and
+    # amortized over the reference's own repeat factor (--index_repeat 20 in
+    # the scannet launch scripts): in production each batch is prepared once
+    # and trained for 20 consecutive steps. Steps are dispatched back-to-back
+    # (state chains on device) as in the real loop (optimize.py defers loss
+    # fetches).
     batch = jax.device_put(batch)
     pipe = TexturePipeline(cfg, vgg, style)
-    state = pipe.init()
-
-    # compile + warmup. The batch-constant precompute (prepare_batch) is
-    # timed separately and amortized over the reference's own repeat factor
-    # (--index_repeat 20 in the scannet launch scripts): in production each
-    # batch is prepared once and trained for 20 consecutive steps.
-    _log("compiling train step (full-method graph; first run is slow)...")
-    t_c = time.perf_counter()
-    aux = jax.block_until_ready(pipe.prepare_batch(batch))
-    state, losses = pipe.train_step(state, batch, aux)
-    jax.block_until_ready(losses)
-    _log(f"compile+first step: {time.perf_counter() - t_c:.1f}s")
-
-    t_p = time.perf_counter()
-    aux = jax.block_until_ready(pipe.prepare_batch(batch))
-    prepare_s = time.perf_counter() - t_p
-    _log(f"prepare_batch: {prepare_s * 1e3:.1f} ms (amortized /{INDEX_REPEAT})")
-
-    # steps are dispatched back-to-back (state chains on device); syncing
-    # every step would serialize host dispatch into the device timeline,
-    # which no real training loop does (optimize.py defers loss fetches)
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, losses = pipe.train_step(state, batch, aux)
-    jax.block_until_ready(losses)
-    _log(f"{STEPS} steps: {time.perf_counter() - t0:.2f}s elapsed")
-    dt = time.perf_counter() - t0 + prepare_s * STEPS / INDEX_REPEAT
-
-    views_per_sec = STEPS * batch_views / dt
-    print(json.dumps({
+    views_per_sec = _time_steps(pipe, batch, "synthetic")
+    return {
         "metric": "views_per_sec_per_chip_full_method_4096sq_x4",
         "value": round(views_per_sec, 3),
         "unit": "views/s",
         "vs_baseline": round(views_per_sec / REFERENCE_A100_VIEWS_PER_SEC, 3),
-    }))
+    }
 
 
 if __name__ == "__main__":

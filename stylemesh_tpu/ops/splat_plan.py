@@ -292,22 +292,61 @@ def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W,
     for f in (2, 3, 5):
         rh, rw = clamp_hw(base_h * f, base_w * f)
         cand[(rh, rw)] = min(cand.get((rh, rw), np.inf), -1.0)
-    shortlist = sorted(cand, key=cand.get)[:7]
+    # ...and ladder DOWN from the median: when >15% of tiles span islands
+    # (demo room L0/L1: q85 ~ 420x860 vs median ~ 146x125) every grid
+    # candidate is huge, yet a median-sized window + per-island entry
+    # splitting is ~6x cheaper (the simulation prices the splits and
+    # residuals, so small candidates are safe to offer)
+    for qb in (0.5, 0.25):
+        bh = int(np.quantile(fh, qb)) + 2
+        bw = int(np.quantile(fw, qb)) + 2
+        for f in (1, 2):
+            rh, rw = clamp_hw(bh * f, bw * f)
+            cand[(rh, rw)] = min(cand.get((rh, rw), np.inf), -1.0)
+    shortlist = sorted(cand, key=cand.get)[:11]
 
+    # Simulate the shortlist on a SPREAD of views (residual counts are
+    # heavily view-dependent: on the demo room view 0 can plan residual-free
+    # at a window whose global residual count is 100k+ — pricing one view
+    # picked pathological windows, the round-3 regression). Residuals are
+    # priced at their padded cost: every view's row is padded to the pow2
+    # cap of the worst view, which is what the XLA scatter actually runs.
+    # Two-stage to keep planning cheap on this 1-core host: every candidate
+    # is simulated on view 0, only the top-4 survivors also pay the other
+    # spread views (a bad window is bad on view 0 too; the multi-view pass
+    # exists to veto windows that only LOOK good on view 0).
+    nv = uv_views.shape[0]
+    sim_views = sorted({0, nv // 2, nv - 1})
+    pre_cache = {}
+
+    def simulate(rh, rw, views):
+        n_entries, runs, res_counts = 0, 0, []
+        for v in views:
+            if v not in pre_cache:
+                pre_cache[v] = _view_pre(np.asarray(uv_views[v], np.float32),
+                                         tex_h, tex_w, tile_h, tile_w)
+            sim = _plan_view(None, tex_h,
+                             tex_w, tile_h, tile_w, rh, rw,
+                             weight_mask=None, n_bands=1, pre=pre_cache[v])
+            n_entries += len(sim["e_tile"])
+            order = np.lexsort((sim["e_ox"], sim["e_oy"]))
+            oy_s = sim["e_oy"][order]
+            ox_s = sim["e_ox"][order]
+            if len(sim["e_tile"]):
+                runs += 1 + int(np.sum((oy_s[1:] != oy_s[:-1])
+                                       | (ox_s[1:] != ox_s[:-1])))
+            res_counts.append(len(sim["res_texel"]))
+        cap = 0
+        if max(res_counts):
+            cap = int(2 ** np.ceil(np.log2(max(res_counts))))
+        return (nv / len(views)) * (model_cost(rh, rw, n_entries)
+                                    + runs * _C_RUN
+                                    + len(views) * cap * _C_RES)
+
+    stage1 = sorted(shortlist, key=lambda c: simulate(c[0], c[1], [0]))
     best = None
-    uv0 = np.asarray(uv_views[0], np.float32)
-    for rh, rw in shortlist:
-        sim = _plan_view(uv0, tex_h, tex_w, tile_h, tile_w, rh, rw,
-                         weight_mask=None, n_bands=1)
-        n_entries = len(sim["e_tile"])
-        order = np.lexsort((sim["e_ox"], sim["e_oy"]))
-        oy_s = sim["e_oy"][order]
-        ox_s = sim["e_ox"][order]
-        runs = 1 + int(np.sum((oy_s[1:] != oy_s[:-1])
-                              | (ox_s[1:] != ox_s[:-1]))) if n_entries else 0
-        n_res = len(sim["res_texel"])
-        cost = (model_cost(rh, rw, n_entries) + runs * _C_RUN
-                + n_res * _C_RES)
+    for rh, rw in stage1[:4]:
+        cost = simulate(rh, rw, sim_views)
         if best is None or cost < best[0]:
             best = (cost, rh, rw)
     return best[1], best[2]
@@ -355,16 +394,12 @@ def _tile_partition(iy0_t, ix0_t, valid_t, region_h, region_w):
     return labels, groups
 
 
-def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
-               weight_mask=None, n_bands=1):
-    """Plan one view: per-tile entries (split at island seams), per-pixel
-    labels, and residual leftovers. Entry windows are confined to the atlas
-    row band owning the entry's footprint when ``n_bands > 1``."""
+def _view_pre(uv, tex_h, tex_w, tile_h, tile_w):
+    """Candidate-independent per-view precompute for :func:`_plan_view`
+    (tiled uv, 4-corner data, validity masks) — hoisted so window-sizing
+    simulation (choose_region) pays it once per view, not per candidate."""
     h, w = uv.shape[:2]
-    band_h = tex_h // n_bands
     uv_tiles = tile_uv(np.asarray(uv, np.float32), tile_h, tile_w)
-    n_tiles, tile_px = uv_tiles.shape[0], tile_h * tile_w
-
     iy0, iy1, ix0, ix1, wy1, wx1 = _corner_data(uv_tiles, tex_h, tex_w)
     # padded pixels excluded entirely; background pixels (baked uv exactly 0
     # -> grid exactly (-1,-1) -> texel (0,0) with weight 1) are handled
@@ -373,7 +408,23 @@ def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
     valid = uv_tiles[..., 0] > -5.0
     background = (uv_tiles[..., 0] == -1.0) & (uv_tiles[..., 1] == -1.0)
     valid = valid & ~background
-    alive = valid.any(axis=1)
+    return dict(h=h, w=w, corners=(iy0, iy1, ix0, ix1, wy1, wx1),
+                valid=valid, alive=valid.any(axis=1))
+
+
+def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
+               weight_mask=None, n_bands=1, pre=None):
+    """Plan one view: per-tile entries (split at island seams), per-pixel
+    labels, and residual leftovers. Entry windows are confined to the atlas
+    row band owning the entry's footprint when ``n_bands > 1``."""
+    band_h = tex_h // n_bands
+    if pre is None:
+        pre = _view_pre(uv, tex_h, tex_w, tile_h, tile_w)
+    h, w = pre["h"], pre["w"]
+    tile_px = tile_h * tile_w
+    iy0, iy1, ix0, ix1, wy1, wx1 = pre["corners"]
+    n_tiles = iy0.shape[0]
+    valid, alive = pre["valid"], pre["alive"]
 
     # splat-liveness per pixel: gradient provably zero -> excluded from the
     # splat schedule (entries all of whose pixels are dead are dropped)

@@ -49,15 +49,34 @@ def main():
     vgg = init_vgg_params(rng=0, scale=0.05)
     rng = np.random.default_rng(0)
     style = jnp.asarray((rng.random((1, 512, 683, 3), dtype=np.float32) - 0.45) * 255.0)
-    batch = synthetic_view_batch(
-        num_views=V, content_hw=(256, 341),
-        level_heights=(256, 432, 608, 784), aspect=1280.0 / 960.0,
-        min_depth=0.25, seed=0, depth_range=(0.4, 7.0))
     layer_sizes = [(cfg.texture_height // 2 ** i, cfg.texture_width // 2 ** i)
                    for i in range(cfg.hierarchical_layers)]
-    batch = with_splat_plans(batch, layer_sizes,
-                             use_angle_weight=cfg.use_angle_weight,
-                             use_depth_scaling=cfg.use_depth_scaling)
+    if os.environ.get("ANATOMY_DEMO") == "1":
+        # the seam-heavy baked demo room, views spread around the orbit
+        # (same batch as bench.py's demo_room metric)
+        from stylemesh_tpu.data.loading import SceneCache
+        from stylemesh_tpu.data.scenes import (discover_scannet_scenes,
+                                               select_scene)
+
+        root = os.environ.get("BENCH_DEMO_ROOT", "/tmp/stylemesh_demo_room")
+        scenes = discover_scannet_scenes(os.path.join(root, "train", "images"),
+                                         pyramid_levels=4,
+                                         min_pyramid_height=256)
+        cache = SceneCache(select_scene(scenes, min_images=1),
+                           resize_size=256)
+        cache.attach_splat_plans(layer_sizes, use_angle_weight=True,
+                                 use_depth_scaling=True)
+        n = cache.num_views
+        batch = cache.get_batch([cache.indices[(i * n) // V]
+                                 for i in range(V)])
+    else:
+        batch = synthetic_view_batch(
+            num_views=V, content_hw=(256, 341),
+            level_heights=(256, 432, 608, 784), aspect=1280.0 / 960.0,
+            min_depth=0.25, seed=0, depth_range=(0.4, 7.0))
+        batch = with_splat_plans(batch, layer_sizes,
+                                 use_angle_weight=cfg.use_angle_weight,
+                                 use_depth_scaling=cfg.use_depth_scaling)
     batch = jax.device_put(batch)
     pipe = TexturePipeline(cfg, vgg, style)
     state = pipe.init()
