@@ -153,6 +153,42 @@ def _conv3x3_flip_bwd(precision, res, g):
 _conv3x3_flipvjp.defvjp(_conv3x3_flip_fwd, _conv3x3_flip_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv3x3_relu_flipvjp(x, kernel, bias, precision):
+    """Fused conv3x3 + bias + relu with a single-residual backward.
+
+    Standard autodiff materializes BOTH the pre-relu conv output (saved by
+    relu's VJP to form the mask) and the post-relu activation — two
+    full-size HBM writes per trunk layer. Fusing the relu into the conv's
+    custom VJP lets the backward recompute the mask from the *output*
+    (``y > 0``; exact because relu output is zero iff pre-activation <= 0),
+    so only ``y`` is saved — and ``y`` is the layer's return value anyway,
+    making the residual free. Backward = mask-multiply fused into the
+    flipped-kernel forward conv (see ``_conv3x3_flipvjp``). Weight/bias
+    cotangents are zeros (frozen VGG contract, ``vgg_features`` docstring).
+    """
+    return jax.nn.relu(_conv3x3_xla(x, kernel, bias, precision))
+
+
+def _conv3x3_relu_flip_fwd(x, kernel, bias, precision):
+    y = jax.nn.relu(_conv3x3_xla(x, kernel, bias, precision))
+    return y, (y, kernel, bias)
+
+
+def _conv3x3_relu_flip_bwd(precision, res, g):
+    y, kernel, bias = res
+    g = jnp.where(y > 0, g, jnp.zeros((), g.dtype))
+    kt = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = jax.lax.conv_general_dilated(
+        g, kt.astype(g.dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    return dx, jnp.zeros_like(kernel), jnp.zeros_like(bias)
+
+
+_conv3x3_relu_flipvjp.defvjp(_conv3x3_relu_flip_fwd, _conv3x3_relu_flip_bwd)
+
+
 def _conv3x3(x, kernel, bias, precision):
     if os.environ.get("STYLEMESH_CONV_FLIPVJP", "1") != "0":
         return _conv3x3_flipvjp(x, kernel, bias, precision)
@@ -285,6 +321,12 @@ def vgg_features(params, x, out_keys, pool="max", compute_dtype=None,
         x = x.astype(compute_dtype)
     pool_fn = _maxpool2 if pool == "max" else _avgpool2
 
+    # Fused conv+bias+relu VJP (single residual, see _conv3x3_relu_flipvjp)
+    # is the default whenever the flip VJP itself is on; STYLEMESH_FUSED_RELU=0
+    # falls back to separate relu (for A/B and VJP-path parity tests).
+    fused_relu = (os.environ.get("STYLEMESH_CONV_FLIPVJP", "1") != "0"
+                  and os.environ.get("STYLEMESH_FUSED_RELU", "1") != "0")
+
     outs = {}
     h = x
     for i, (name, conv) in enumerate(_TRUNK):
@@ -293,7 +335,10 @@ def vgg_features(params, x, out_keys, pool="max", compute_dtype=None,
             b = params[conv]["bias"]
             if compute_dtype is not None:
                 k = k.astype(compute_dtype)
-            h = jax.nn.relu(_conv3x3(h, k, b, precision))
+            if fused_relu:
+                h = _conv3x3_relu_flipvjp(h, k, b, precision)
+            else:
+                h = jax.nn.relu(_conv3x3(h, k, b, precision))
         else:
             h = pool_fn(h)
         if name in wanted:

@@ -32,3 +32,24 @@ def test_vgg_avg_pool():
     out_avg = vgg_features(params, x, ["p1"], pool="avg")["p1"]
     assert out_max.shape == out_avg.shape
     assert float(jnp.max(out_avg)) <= float(jnp.max(out_max)) + 1e-6
+
+
+def test_fused_relu_vjp_matches_unfused(monkeypatch):
+    """The fused conv+bias+relu VJP (single residual, mask from the output)
+    must produce bit-identical input gradients to the separate relu path."""
+    import jax
+
+    params = init_vgg_params(rng=3)
+    x = jnp.asarray((RNG.random((1, 32, 40, 3), dtype=np.float32) - 0.45) * 255.0)
+    keys = ["r11", "r21", "r31", "p3"]
+
+    def loss(x):
+        f = vgg_features(params, x, keys)
+        return sum(jnp.sum(v ** 2) for v in f.values())
+
+    monkeypatch.setenv("STYLEMESH_FUSED_RELU", "1")
+    v1, g1 = jax.value_and_grad(loss)(x)
+    monkeypatch.setenv("STYLEMESH_FUSED_RELU", "0")
+    v0, g0 = jax.value_and_grad(loss)(x)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
