@@ -112,7 +112,25 @@ def ref_pipeline_grads(texture_layers, uv_grids, rgb, mask, angle_guidance,
     """Reference training-step semantics with backward hooks
     (model.py:178-270): returns (total, content, style, grads per layer)."""
     params = [torch.nn.Parameter(t) for t in texture_layers]
+    total, content, style = ref_forward(
+        params, uv_grids, rgb, mask, angle_guidance, angle_degrees,
+        rounded_level, other_level, level_weight, ref_loss,
+        content_weight, style_weight, use_angle_weight, use_depth_scaling)
+    total.backward()
+    return (float(total), content, style,
+            [p.grad.detach().numpy().copy() for p in params])
 
+
+def ref_forward(params, uv_grids, rgb, mask, angle_guidance,
+                angle_degrees, rounded_level, other_level, level_weight,
+                ref_loss, content_weight, style_weight,
+                use_angle_weight=True, use_depth_scaling=True,
+                tex_reg_weight=0.0, tex_reg_weights=None):
+    """One reference forward on existing texture Parameters; returns the
+    differentiable ``total`` (so a persistent torch.optim loop can drive
+    multi-step trajectories) plus float content/style. Optionally adds the
+    reference texture regularizer (model.py:163-171: weighted per-layer
+    mean-square)."""
     pred_pyramid = []
     for uv in uv_grids:
         layers_sampled = []
@@ -169,9 +187,14 @@ def ref_pipeline_grads(texture_layers, uv_grids, rgb, mask, angle_guidance,
     style, content = ref_loss.forward(pred_pyramid, rgb, pyramid_masks,
                                       angle_degrees)
     total = content_weight * content + style_weight * style
-    total.backward()
-    return (float(total), float(content), float(style),
-            [p.grad.detach().numpy().copy() for p in params])
+    if tex_reg_weight > 0.0:
+        # model.py:163-171 → texture.py:102-108 (weighted per-layer
+        # mean-square over the pyramid; layer.data is the nn.Parameter
+        # attribute of the module, so this is differentiable)
+        reg = sum(torch.mean(torch.pow(p, 2.0)) * w
+                  for p, w in zip(params, tex_reg_weights))
+        total = total + tex_reg_weight * reg
+    return total, float(content.detach()), float(style.detach())
 
 
 class RefLoss:

@@ -70,7 +70,7 @@ def demo_texture(size=1024, seed=0):
     return np.clip(tex, 0, 1).astype(np.float32)
 
 
-def main(out_root, n_views=24):
+def main(out_root, n_views=24, pyramid_heights=None):
     scene = join(out_root, "train", "images", "scene0900_00")
     os.makedirs(join(scene, "color"), exist_ok=True)
 
@@ -102,8 +102,10 @@ def main(out_root, n_views=24):
         Image.fromarray((np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)
                         ).save(join(scene, "color", f"{i}.jpg"))
 
+    bake_kw = {} if pyramid_heights is None else {
+        "pyramid_heights": tuple(pyramid_heights)}
     n = bake_scene(mesh_path, join(scene, "pose"), k, (w, h), scene,
-                   base_hw=(h, w), verbose=True)
+                   base_hw=(h, w), verbose=True, **bake_kw)
     print(f"demo scene: {scene} ({n} views baked)")
     return scene
 

@@ -1,0 +1,211 @@
+"""Full-config loss-trajectory parity: JAX pipeline vs the torch oracle.
+
+The strongest quality evidence obtainable without `vgg_conv.pth` (VERDICT r2
+#5): run the torch reference semantics (tests/torch_reference.py — hooks,
+masked losses, Adam + StepLR + clamp, model.py:346-401) and the production
+JAX pipeline side by side on the baked demo room — real multi-island scene,
+full scannet_full feature set (angle weighting, depth scaling, hierarchical
+texture + regularizer, multi style pyramid) — for N optimizer steps with
+identical He-init VGG weights, style image, texture init, and view order,
+then report the relative deviation of the loss trajectories.
+
+The torch side runs on ONE CPU core here (~25 s/step at --scale 0.5), so the
+default config halves every resolution (views 128px, pyramid 128..392,
+texture 512^2 x4) while keeping all four depth-scaling levels live — the
+same structure at half scale. `--scale 1.0` reuses the bench demo room for a
+short full-resolution check.
+
+Usage:
+  python tools/trajectory_parity.py --steps 100 --out results/trajectory_parity.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEIGHTS_FULL = (256, 432, 608, 784)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--views", type=int, default=8,
+                    help="number of scene views cycled (V=1 per step, like "
+                         "the reference's batch_size=1)")
+    ap.add_argument("--scale", type=float, default=0.5)
+    ap.add_argument("--tex_size", type=int, default=512)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--decay_steps", type=int, default=60,
+                    help="StepLR boundary in steps (exercises the schedule)")
+    ap.add_argument("--out", default="results/trajectory_parity.json")
+    ap.add_argument("--rtol", type=float, default=1e-3,
+                    help="report threshold for per-step relative deviation")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    torch.manual_seed(0)
+
+    from stylemesh_tpu.data.loading import SceneCache
+    from stylemesh_tpu.data.scenes import discover_scannet_scenes, select_scene
+    from stylemesh_tpu.models.pipeline import PipelineConfig, TexturePipeline
+    from stylemesh_tpu.models.vgg import init_vgg_params
+    from tests.torch_reference import (RefLoss, ref_forward,
+                                       torch_params_from_jax)
+
+    heights = tuple(int(round(h * args.scale)) for h in HEIGHTS_FULL)
+    resize = int(round(256 * args.scale))
+
+    # ---- scene (bake a scaled room once, idempotent)
+    if args.scale == 1.0:
+        root = os.environ.get("BENCH_DEMO_ROOT", "/tmp/stylemesh_demo_room")
+    else:
+        root = f"/tmp/stylemesh_parity_room_s{args.scale:g}"
+    if not os.path.isdir(os.path.join(root, "train", "images")):
+        print(f"# baking parity room at scale {args.scale} -> {root}")
+        import importlib.util
+        spec_ = importlib.util.spec_from_file_location(
+            "make_demo_scene",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "make_demo_scene.py"))
+        mds = importlib.util.module_from_spec(spec_)
+        spec_.loader.exec_module(mds)
+        mds.main(root, n_views=max(args.views, 8), pyramid_heights=heights)
+
+    scenes = discover_scannet_scenes(os.path.join(root, "train", "images"),
+                                     pyramid_levels=4,
+                                     min_pyramid_height=heights[0])
+    spec = select_scene(scenes, min_images=1)
+    cache = SceneCache(spec, resize_size=resize)
+    n = cache.num_views
+    view_order = [cache.indices[(i * 7) % n] for i in range(args.views)]
+
+    # ---- shared config: scannet_full semantics, f32 end to end
+    cfg = PipelineConfig(
+        texture_width=args.tex_size, texture_height=args.tex_size,
+        hierarchical_layers=args.layers,
+        use_angle_weight=True, use_depth_scaling=True,
+        content_weight=7e1, style_weight=1e-4, tex_reg_weight=5e3,
+        style_pyramid_mode="multi", gram_mode="current",
+        angle_threshold=30.0, style_min_size=max(int(256 * args.scale), 32),
+        learning_rate=1.0, decay_step_size=args.decay_steps,
+        steps_per_epoch=1, remat_vgg=False)
+    layer_sizes = [(args.tex_size // 2 ** i, args.tex_size // 2 ** i)
+                   for i in range(args.layers)]
+    cache.attach_splat_plans(layer_sizes, use_angle_weight=True,
+                             use_depth_scaling=True)
+
+    vgg = init_vgg_params(rng=0, scale=0.05)
+    rng = np.random.default_rng(0)
+    style_np = ((rng.random((1, int(512 * args.scale), int(683 * args.scale),
+                             3), dtype=np.float32) - 0.45) * 255.0)
+
+    pipe = TexturePipeline(cfg, vgg, jnp.asarray(style_np))
+    state = pipe.init()
+    tex0 = [np.asarray(l) for l in state.texture.layers]
+
+    # ---- JAX trajectory (production path: Pallas plans, jitted step)
+    print(f"# scene {spec.name}: {n} views, heights {heights}, "
+          f"texture {args.tex_size}^2 x{args.layers}")
+    batches = {i: jax.device_put(cache.get_batch([i])) for i in view_order}
+    jax_tr = {"total": [], "style": [], "content": []}
+    t0 = time.perf_counter()
+    for t in range(args.steps):
+        b = batches[view_order[t % len(view_order)]]
+        state, losses = pipe.train_step(state, b)
+        jax_tr["total"].append(float(losses["total"]))
+        jax_tr["style"].append(float(losses["style"]))
+        jax_tr["content"].append(float(losses["content"]))
+        if t % 20 == 0:
+            print(f"# jax step {t}: total {jax_tr['total'][-1]:.6e} "
+                  f"({time.perf_counter() - t0:.0f}s)")
+    print(f"# jax {args.steps} steps: {time.perf_counter() - t0:.0f}s")
+
+    # ---- torch oracle trajectory (reference hook semantics + Adam/StepLR)
+    ref_loss = RefLoss(torch_params_from_jax(vgg), cfg.style_layers,
+                       cfg.content_layers, cfg.style_weights,
+                       cfg.content_weights, angle_threshold=30.0,
+                       style_pyramid_mode="multi", gram_mode="current")
+    ref_loss.set_style_image(
+        torch.from_numpy(np.moveaxis(style_np, -1, 1).copy()),
+        minimum_size=cfg.style_min_size)
+
+    params = [torch.nn.Parameter(
+        torch.from_numpy(np.moveaxis(t_, -1, 0).copy())) for t_ in tex0]
+    opt = torch.optim.Adam(params, lr=cfg.learning_rate)
+    sched = torch.optim.lr_scheduler.StepLR(
+        opt, step_size=args.decay_steps, gamma=cfg.decay_gamma)
+    reg_w = cfg.resolved_tex_reg_weights()
+
+    def chw(x):
+        return torch.from_numpy(np.moveaxis(np.asarray(x), -1, 1).copy())
+
+    tbatches = {}
+    for i in view_order:
+        b = cache.get_batch([i])
+        tbatches[i] = dict(
+            uv_grids=[torch.from_numpy(np.asarray(u).copy()) for u in b.uv],
+            rgb=chw(b.rgb), mask=chw(b.mask),
+            angle_guidance=chw(b.angle_guidance),
+            angle_degrees=chw(b.angle_degrees),
+            rounded_level=chw(b.rounded_depth_level),
+            other_level=chw(b.other_depth_level),
+            level_weight=chw(b.depth_level_weight))
+
+    from stylemesh_tpu.models.texture import GATYS_MAX, GATYS_MIN
+
+    ref_tr = {"total": [], "style": [], "content": []}
+    t0 = time.perf_counter()
+    for t in range(args.steps):
+        tb = tbatches[view_order[t % len(view_order)]]
+        opt.zero_grad()
+        total, content, style = ref_forward(
+            params, ref_loss=ref_loss, content_weight=7e1, style_weight=1e-4,
+            tex_reg_weight=5e3, tex_reg_weights=reg_w, **tb)
+        total.backward()
+        opt.step()
+        sched.step()
+        with torch.no_grad():
+            for p in params:
+                p.data.clamp_(GATYS_MIN, GATYS_MAX)
+        # the JAX pipeline logs weighted losses — record the oracle the same
+        ref_tr["total"].append(float(total.detach()))
+        ref_tr["style"].append(1e-4 * style)
+        ref_tr["content"].append(7e1 * content)
+        if t % 10 == 0:
+            dev = abs(ref_tr["total"][-1] - jax_tr["total"][t]) / max(
+                abs(ref_tr["total"][-1]), 1e-12)
+            print(f"# torch step {t}: total {ref_tr['total'][-1]:.6e} "
+                  f"rel dev {dev:.2e} ({time.perf_counter() - t0:.0f}s)")
+    print(f"# torch {args.steps} steps: {time.perf_counter() - t0:.0f}s")
+
+    # ---- compare
+    report = {"config": {"scale": args.scale, "steps": args.steps,
+                         "views": args.views, "tex_size": args.tex_size,
+                         "layers": args.layers, "heights": list(heights),
+                         "decay_steps": args.decay_steps},
+              "jax": jax_tr, "torch": ref_tr}
+    devs = {}
+    for k in ("total", "style", "content"):
+        a = np.asarray(jax_tr[k])
+        b = np.asarray(ref_tr[k])
+        devs[k] = float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-12)))
+    report["max_rel_dev"] = devs
+    report["pass_rtol"] = args.rtol
+    report["pass"] = all(v <= args.rtol for v in devs.values())
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f)
+    print(json.dumps({"max_rel_dev": devs, "pass": report["pass"]}))
+
+
+if __name__ == "__main__":
+    main()
