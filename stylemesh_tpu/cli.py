@@ -234,10 +234,13 @@ def main(argv=None):
 
     if run.run_post_steps:
         from stylemesh_tpu.eval.reprojection import eval_reprojection_consistency
-        from stylemesh_tpu.optimize import _export_textures, build_lpips
+        from stylemesh_tpu.optimize import (_export_textures, _write_wallclock,
+                                            build_lpips)
         from stylemesh_tpu.texturing.video import video_from_files
+        from stylemesh_tpu.utils.profiling import StepProfiler
         import os
 
+        clock = StepProfiler()
         # the reference always reports LPIPS alongside MSE
         # (eval_image_folders.py:237-242); lpips_calibrated in the JSON says
         # whether converted lin weights were found
@@ -246,13 +249,19 @@ def main(argv=None):
         for s, tex in _export_textures(state):
             tag = "" if s is None else f"_style{s}"
             styled_dir = os.path.join(log_dir, "styled" + tag)
-            frames = render_styled_frames(tex, cache, styled_dir)
-            video_from_files(frames,
-                             os.path.join(log_dir, f"styled{tag}.mp4"))
-            results = eval_reprojection_consistency(
-                cache, styled_dir, out_dir=log_dir, seed=42,
-                lpips_fn=lpips_fn, suffix=tag)
+            with clock.phase("post_render"):
+                frames = render_styled_frames(tex, cache, styled_dir)
+            with clock.phase("post_video"):
+                video_from_files(frames,
+                                 os.path.join(log_dir, f"styled{tag}.mp4"))
+            with clock.phase("post_eval"):
+                results = eval_reprojection_consistency(
+                    cache, styled_dir, out_dir=log_dir, seed=42,
+                    lpips_fn=lpips_fn, suffix=tag)
             print(f"reprojection eval{tag}:", results)
+        _write_wallclock(log_dir, clock.summary())
+        print("post-chain wall-clock:",
+              {k: v["total_s"] for k, v in clock.summary().items()})
     return state, log_dir
 
 

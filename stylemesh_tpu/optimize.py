@@ -35,6 +35,20 @@ from stylemesh_tpu.utils.checkpoint import (
     save_texture_npz,
 )
 from stylemesh_tpu.utils.logging import MetricsLogger, StepTimer
+from stylemesh_tpu.utils.profiling import StepProfiler
+
+
+def _write_wallclock(log_dir, phases):
+    """Merge phase timings into <log_dir>/wallclock.json (the post chain
+    appends its phases to the same file)."""
+    path = join(log_dir, "wallclock.json")
+    existing = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+    existing.update(phases)
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=2)
 
 
 @dataclasses.dataclass
@@ -179,19 +193,26 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         raise ValueError("multi-style sweeps use the whole mesh for the "
                          "style axis; drop --shard_atlas/--data_parallel")
 
+    # wall-clock anatomy of the whole run (scene -> plan -> compile -> steps
+    # -> post): written to <log_dir>/wallclock.json so time-to-styled-scene
+    # is a first-class, auditable number, not prose
+    clock = StepProfiler()
     if scene_cache is None:
         spec = discover_scene(run)
         print(f"Using scene: {spec.name}")
-        scene_cache = SceneCache(spec, resize_size=run.resize_size, verbose=True)
+        with clock.phase("scene_cache"):
+            scene_cache = SceneCache(spec, resize_size=run.resize_size,
+                                     verbose=True)
     if pipe_cfg.use_splat_kernel and not getattr(scene_cache, "_view_plans", None):
         layer_sizes = [
             (pipe_cfg.texture_height // 2 ** i, pipe_cfg.texture_width // 2 ** i)
             for i in range(pipe_cfg.hierarchical_layers)
         ]
-        scene_cache.attach_splat_plans(
-            layer_sizes, use_angle_weight=pipe_cfg.use_angle_weight,
-            use_depth_scaling=pipe_cfg.use_depth_scaling,
-            n_bands=n_dev if shard_atlas else 1)
+        with clock.phase("splat_planning"):
+            scene_cache.attach_splat_plans(
+                layer_sizes, use_angle_weight=pipe_cfg.use_angle_weight,
+                use_depth_scaling=pipe_cfg.use_depth_scaling,
+                n_bands=n_dev if shard_atlas else 1)
     if vgg_params is None:
         vgg_params = load_vgg(run.vgg_model_path)
     if style_image is None:
@@ -206,30 +227,32 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         // run.views_per_batch)
     pipe_cfg = dataclasses.replace(pipe_cfg, steps_per_epoch=steps_per_epoch)
 
-    if multi_style:
-        from stylemesh_tpu.parallel.multistyle import MultiStylePipeline
+    with clock.phase("pipeline_build"):
+        if multi_style:
+            from stylemesh_tpu.parallel.multistyle import MultiStylePipeline
 
-        style_images = [jax.numpy.asarray(style_image)] + [
-            jax.numpy.asarray(load_style_image(p))
-            for p in run.extra_style_paths]
-        print(f"multi-style sweep: {len(style_images)} styles over "
-              f"{n_dev} chip(s)")
-        pipe = MultiStylePipeline(pipe_cfg, vgg_params, style_images)
-    elif shard_atlas:
-        from stylemesh_tpu.parallel.atlas import AtlasShardedPipeline
+            style_images = [jax.numpy.asarray(style_image)] + [
+                jax.numpy.asarray(load_style_image(p))
+                for p in run.extra_style_paths]
+            print(f"multi-style sweep: {len(style_images)} styles over "
+                  f"{n_dev} chip(s)")
+            pipe = MultiStylePipeline(pipe_cfg, vgg_params, style_images)
+        elif shard_atlas:
+            from stylemesh_tpu.parallel.atlas import AtlasShardedPipeline
 
-        print(f"atlas-sharded training: texture row-banded over {n_dev} chips")
-        pipe = AtlasShardedPipeline(pipe_cfg, vgg_params,
-                                    jax.numpy.asarray(style_image))
-    elif run.data_parallel and n_dev > 1:
-        from stylemesh_tpu.parallel.train import ShardedTexturePipeline
+            print(f"atlas-sharded training: texture row-banded over "
+                  f"{n_dev} chips")
+            pipe = AtlasShardedPipeline(pipe_cfg, vgg_params,
+                                        jax.numpy.asarray(style_image))
+        elif run.data_parallel and n_dev > 1:
+            from stylemesh_tpu.parallel.train import ShardedTexturePipeline
 
-        pipe = ShardedTexturePipeline(pipe_cfg, vgg_params,
-                                      jax.numpy.asarray(style_image))
-    else:
-        pipe = TexturePipeline(pipe_cfg, vgg_params,
-                               jax.numpy.asarray(style_image))
-    state = pipe.init()
+            pipe = ShardedTexturePipeline(pipe_cfg, vgg_params,
+                                          jax.numpy.asarray(style_image))
+        else:
+            pipe = TexturePipeline(pipe_cfg, vgg_params,
+                                   jax.numpy.asarray(style_image))
+        state = pipe.init()
     if run.resume_from:
         if multi_style:
             raise ValueError("--resume_from is not supported for "
@@ -267,6 +290,8 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         return last_batch, last_aux
 
     host_step = int(state.step)  # host-side twin of state.step (see below)
+    first_step_done = False
+    t_train0 = time.perf_counter()
     for epoch in range(run.max_epochs):
         if run.sampler_mode == "repeat" and isinstance(run.index_repeat, int) \
                 and run.index_repeat > 1:
@@ -284,8 +309,17 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         # step counter is tracked host-side for the same reason.
         pending = None  # (losses of the previous step, its step number)
         for chunk in chunks:
-            batch, aux = get_device_batch(chunk)
-            state, losses = pipe.train_step(state, batch, aux)
+            if not first_step_done:
+                # first batch + step = splat-plan H2D, prepare_batch compile,
+                # and the train-step compile (the dominant cold-cache cost)
+                with clock.phase("compile_first_step"):
+                    batch, aux = get_device_batch(chunk)
+                    state, losses = pipe.train_step(state, batch, aux)
+                    jax.block_until_ready(losses)
+                first_step_done = True
+            else:
+                batch, aux = get_device_batch(chunk)
+                state, losses = pipe.train_step(state, batch, aux)
             host_step += 1
             step_no = host_step
             timer.tick()
@@ -305,11 +339,12 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
             logger.batch_losses("train", _loss_scalars(pending[0]),
                                 pending[1])
         # validation
-        for chunk in batched(epoch_indices(val_idx, "sequential"),
-                             run.views_per_batch):
-            batch = scene_cache.get_batch(chunk)
-            losses = pipe.eval_step(state, batch)
-            logger.batch_losses("val", _loss_scalars(losses), host_step)
+        with clock.phase("validation"):
+            for chunk in batched(epoch_indices(val_idx, "sequential"),
+                                 run.views_per_batch):
+                batch = scene_cache.get_batch(chunk)
+                losses = pipe.eval_step(state, batch)
+                logger.batch_losses("val", _loss_scalars(losses), host_step)
         tr = logger.epoch_means("train", epoch)
         va = logger.epoch_means("val", epoch)
         print(f"epoch {epoch}: train {tr} val {va} "
@@ -317,14 +352,27 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
               f"{timer.steps_per_sec * run.views_per_batch:.2f} views/s)")
 
         if run.save_texture:
-            for s, tex in _export_textures(state):
-                tag = f"epoch_{epoch}" + (f"_style{s}" if s is not None else "")
-                save_texture_layers(tex, log_dir, tag)
-                save_texture_image(tex, log_dir, tag + "_")
-    for s, tex in _export_textures(state):
-        name = "texture.npz" if s is None else f"texture_style{s}.npz"
-        save_texture_npz(tex, join(log_dir, name))
+            with clock.phase("texture_export"):
+                for s, tex in _export_textures(state):
+                    tag = f"epoch_{epoch}" + (f"_style{s}" if s is not None
+                                              else "")
+                    save_texture_layers(tex, log_dir, tag)
+                    save_texture_image(tex, log_dir, tag + "_")
+    with clock.phase("texture_export"):
+        for s, tex in _export_textures(state):
+            name = "texture.npz" if s is None else f"texture_style{s}.npz"
+            save_texture_npz(tex, join(log_dir, name))
     logger.close()
+
+    t_total = time.perf_counter() - t_train0
+    wall = clock.summary()
+    overhead = sum(v["total_s"] for k, v in wall.items()
+                   if k in ("compile_first_step", "validation",
+                            "texture_export"))
+    wall["train_steps"] = {"total_s": round(t_total - overhead, 3),
+                           "steps": host_step}
+    _write_wallclock(log_dir, wall)
+    print("wall-clock:", {k: v["total_s"] for k, v in wall.items()})
     return state, log_dir, scene_cache
 
 
