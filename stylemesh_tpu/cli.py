@@ -6,6 +6,7 @@ or via a preset: ``python -m stylemesh_tpu.cli --preset scannet_full``.
 """
 
 import argparse
+import os
 
 import jax.numpy as jnp
 
@@ -170,8 +171,6 @@ def configs_from_args(args):
     )
     style_paths = list(args.style_image_path or [])
     if args.style_dir:
-        import os
-
         exts = (".jpg", ".jpeg", ".png", ".bmp")
         style_paths += sorted(
             os.path.join(args.style_dir, f)
@@ -217,9 +216,20 @@ def configs_from_args(args):
 def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
-    if args.platform:
-        import jax
+    import jax
 
+    # Persistent compile cache: the full-method train-step graph takes
+    # minutes to compile cold; caching it makes every later run of the same
+    # config start in seconds (JAX_COMPILATION_CACHE_DIR overrides).
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        cache_dir = os.path.expanduser("~/.cache/stylemesh_tpu/jax_comp_cache")
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except (OSError, AttributeError):
+            pass  # read-only home / older jax: run without the cache
+    if args.platform:
         try:
             jax.config.update(
                 "jax_platforms", "cpu" if args.platform == "cpu" else "")
@@ -238,7 +248,6 @@ def main(argv=None):
                                             build_lpips)
         from stylemesh_tpu.texturing.video import video_from_files
         from stylemesh_tpu.utils.profiling import StepProfiler
-        import os
 
         clock = StepProfiler()
         # the reference always reports LPIPS alongside MSE
