@@ -64,6 +64,15 @@ def test_shard_atlas_run_training(tmp_path):
     assert cache._view_plans[0][0].g_ids.shape[0] == len(jax.devices())
     assert cache._view_plans[0][1] is None  # 64x64 not plan-eligible
     assert os.path.exists(os.path.join(log_dir, "texture.npz"))
+    # wall-clock anatomy artifact: per-phase totals incl. train steps
+    import json
+
+    with open(os.path.join(log_dir, "wallclock.json")) as f:
+        wall = json.load(f)
+    for phase in ("pipeline_build", "compile_first_step", "validation",
+                  "train_steps"):
+        assert phase in wall and wall[phase]["total_s"] >= 0.0
+    assert wall["train_steps"]["steps"] == int(state.step)
 
 
 def test_multistyle_run_training(tmp_path):
