@@ -13,6 +13,8 @@ the largest scenes — cacheable in host RAM.
 """
 
 import dataclasses
+import hashlib
+import os
 from typing import List, Optional, Sequence
 
 import cv2
@@ -166,6 +168,52 @@ def views_to_batch(views: Sequence[View]) -> ViewBatch:
     )
 
 
+def _save_plan_cache(path, view_plans):
+    """Serialize [level][layer] PlanArrays|None to one flat npz (atomic)."""
+    arrs = {}
+    for li, per_layer in enumerate(view_plans):
+        for ti, plan in enumerate(per_layer):
+            if plan is None:
+                continue
+            for f in dataclasses.fields(plan):
+                arrs[f"l{li}t{ti}_{f.name}"] = np.asarray(getattr(plan, f.name))
+    tmp = path + ".tmp.npz"
+    try:
+        np.savez(tmp, **arrs)
+        os.replace(tmp, path)
+    except OSError:  # disk-full etc. — the cache is best-effort
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+def _load_plan_cache(path, n_levels, plan_layer_sizes):
+    """Inverse of :func:`_save_plan_cache`; None on any mismatch."""
+    from stylemesh_tpu.ops.splat_plan import PlanArrays
+
+    meta_ints = {"tile_h", "tile_w", "region_h", "region_w", "tex_h_global"}
+    try:
+        out = []
+        with np.load(path) as z:
+            for li in range(n_levels):
+                per = []
+                for ti, hw in enumerate(plan_layer_sizes):
+                    if hw is None:
+                        per.append(None)
+                        continue
+                    kw = {}
+                    for f in dataclasses.fields(PlanArrays):
+                        k = f"l{li}t{ti}_{f.name}"
+                        if k not in z:
+                            return None
+                        kw[f.name] = (int(z[k]) if f.name in meta_ints
+                                      else z[k])
+                    per.append(PlanArrays(**kw))
+                out.append(per)
+        return out
+    except Exception:
+        return None
+
+
 class SceneCache:
     """Pack every view of a scene once; serve batches as array slices.
 
@@ -229,6 +277,17 @@ class SceneCache:
         level_shapes = [tuple(u.shape[1:3]) for u in b.uv]
         wmasks = grad_weight_masks(b, level_shapes, use_angle_weight,
                                    use_depth_scaling)
+        # plans are pure functions of (uv maps, weight masks, layer sizes,
+        # planner version) — all scene constants — so they cache to disk:
+        # a warm re-run of a scene skips the ~minutes of host-side planning
+        # entirely (the single biggest non-compile cold cost on this host)
+        cache_path = self._plan_cache_path(layer_sizes, wmasks, n_bands)
+        if cache_path is not None and os.path.exists(cache_path):
+            cached = _load_plan_cache(cache_path, len(b.uv),
+                                      self._plan_layer_sizes)
+            if cached is not None:
+                self._view_plans = cached
+                return
         # [level][layer] -> PlanArrays over all cached views | None
         self._view_plans = []
         for li, uv in enumerate(b.uv):
@@ -246,6 +305,34 @@ class SceneCache:
                     per_layer.append(plan_arrays_for_views(
                         np.asarray(uv), hw[0], hw[1], weight_masks=wm))
             self._view_plans.append(per_layer)
+        if cache_path is not None:
+            _save_plan_cache(cache_path, self._view_plans)
+
+    def _plan_cache_path(self, layer_sizes, wmasks, n_bands):
+        """Content-addressed path for the on-disk plan cache (None =
+        disabled via STYLEMESH_PLAN_CACHE_DIR=0). The key hashes the full
+        uv/mask bytes plus every planner input and the planner version, so a
+        stale hit is impossible short of a hash collision."""
+        from stylemesh_tpu.ops.splat_plan import PLANNER_VERSION
+
+        root = os.environ.get(
+            "STYLEMESH_PLAN_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "stylemesh_tpu",
+                         "plan_cache"))
+        if root in ("", "0", "off"):
+            return None
+        h = hashlib.sha1()
+        h.update(repr((PLANNER_VERSION, [tuple(s) for s in layer_sizes],
+                       int(n_bands), wmasks is None)).encode())
+        for uv in self._batch_all.uv:
+            a = np.ascontiguousarray(np.asarray(uv, np.float32))
+            h.update(repr(a.shape).encode())
+            h.update(a.tobytes())
+        if wmasks is not None:
+            for m in wmasks:
+                h.update(np.ascontiguousarray(np.asarray(m, bool)).tobytes())
+        os.makedirs(root, exist_ok=True)
+        return os.path.join(root, h.hexdigest() + ".npz")
 
     def _assemble_plans(self, pos):
         import jax

@@ -16,8 +16,9 @@ planned offline per (view, pyramid level, texture layer):
   group;
 - tiles whose footprint exceeds the window (UV chart seams) are **split into
   per-island entries**: the tile's pixels are partitioned host-side into
-  groups whose footprints each fit one window (bucket by texel cell, greedy
-  bbox merge), each group becomes its own schedule entry carrying a pixel
+  groups whose footprints each fit one window (bucket by half-window texel
+  cell — so no single bucket can exceed a window — then best-fit bbox
+  merge), each group becomes its own schedule entry carrying a pixel
   label the kernel filters on. Pixel sets are disjoint, so every 4-corner
   contribution is processed exactly once, with the same factorized-matmul
   path as smooth tiles — no per-corner slow path;
@@ -41,6 +42,10 @@ from typing import Optional, Tuple
 import jax
 import numpy as np
 
+# bump when planner output semantics, the cost model, or PlanArrays layout
+# change — invalidates the on-disk plan cache (data/loading.py)
+PLANNER_VERSION = 5
+
 # defaults (legacy v1 values; the planner normally sizes per (level, layer))
 TILE_H = 16
 TILE_W = 64
@@ -57,8 +62,11 @@ _MAX_REGION_TEXELS = 256 * 1024
 _SPLAT_BUCKET = 64
 _GATHER_BUCKET = 16
 # a tile's pixels are split into at most this many per-island entries;
-# overflow pixels go to the residual scatter (label -1)
-MAX_TILE_ENTRIES = 6
+# overflow pixels go to the residual scatter (label -1). Generous on
+# purpose: an extra small-window entry costs ~1-5 us while a residual
+# corner burst costs its padded XLA-scatter cap — the window-sizing
+# simulation prices the entries, so unneeded headroom is free.
+MAX_TILE_ENTRIES = 16
 
 
 @functools.partial(
@@ -251,8 +259,17 @@ def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W,
     # the top model candidates are SIMULATED on one view (_plan_view) and
     # priced with their actual entry/run/residual counts.
     _C_FIXED = 200.0
-    _C_RUN = 570.0
     _C_RES = 120.0
+
+    def run_cost(rh, rw):
+        # a window run's DMA cost scales with the DMA superset bytes (the
+        # old flat 570 was calibrated at a ~250x180 window and overpriced
+        # small-window runs ~2x): ~1 us issue/latency floor plus the HBM
+        # transfer, in the model's ~5.3 ns units. Matches the measured 570
+        # at (240, 176).
+        eh = min(rh + 8, tex_h)
+        ew = min(-(-rw // 128) * 128 + 128, tex_w)
+        return 190.0 + (12.0 * eh * ew) / 3000.0
 
     def model_cost(rh, rw, n_entries):
         # the kernels' dots quantize to MXU tiles: the splat runs
@@ -319,28 +336,38 @@ def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W,
     sim_views = sorted({0, nv // 2, nv - 1})
     pre_cache = {}
 
-    def simulate(rh, rw, views):
-        n_entries, runs, res_counts = 0, 0, []
-        for v in views:
-            if v not in pre_cache:
-                pre_cache[v] = _view_pre(np.asarray(uv_views[v], np.float32),
-                                         tex_h, tex_w, tile_h, tile_w)
-            sim = _plan_view(None, tex_h,
-                             tex_w, tile_h, tile_w, rh, rw,
-                             weight_mask=None, n_bands=1, pre=pre_cache[v])
-            n_entries += len(sim["e_tile"])
+    sim_memo = {}  # (rh, rw, view) -> (n_entries, runs, res_count)
+
+    def sim_one(rh, rw, v):
+        key = (rh, rw, v)
+        if key in sim_memo:
+            return sim_memo[key]
+        if v not in pre_cache:
+            pre_cache[v] = _view_pre(np.asarray(uv_views[v], np.float32),
+                                     tex_h, tex_w, tile_h, tile_w)
+        sim = _plan_view(None, tex_h,
+                         tex_w, tile_h, tile_w, rh, rw,
+                         weight_mask=None, n_bands=1, pre=pre_cache[v])
+        runs = 0
+        if len(sim["e_tile"]):
             order = np.lexsort((sim["e_ox"], sim["e_oy"]))
             oy_s = sim["e_oy"][order]
             ox_s = sim["e_ox"][order]
-            if len(sim["e_tile"]):
-                runs += 1 + int(np.sum((oy_s[1:] != oy_s[:-1])
-                                       | (ox_s[1:] != ox_s[:-1])))
-            res_counts.append(len(sim["res_texel"]))
+            runs = 1 + int(np.sum((oy_s[1:] != oy_s[:-1])
+                                  | (ox_s[1:] != ox_s[:-1])))
+        out = (len(sim["e_tile"]), runs, len(sim["res_texel"]))
+        sim_memo[key] = out
+        return out
+
+    def simulate(rh, rw, views):
+        per = [sim_one(rh, rw, v) for v in views]
+        n_entries = sum(p[0] for p in per)
+        runs = sum(p[1] for p in per)
         cap = 0
-        if max(res_counts):
-            cap = int(2 ** np.ceil(np.log2(max(res_counts))))
+        if max(p[2] for p in per):
+            cap = int(2 ** np.ceil(np.log2(max(p[2] for p in per))))
         return (nv / len(views)) * (model_cost(rh, rw, n_entries)
-                                    + runs * _C_RUN
+                                    + runs * run_cost(rh, rw)
                                     + len(views) * cap * _C_RES)
 
     stage1 = sorted(shortlist, key=lambda c: simulate(c[0], c[1], [0]))
@@ -365,32 +392,57 @@ def _tile_partition(iy0_t, ix0_t, valid_t, region_h, region_w):
         # exact test against the true origin the entry will get (v4)
         return y1 - y0 <= region_h - 2 and x1 - x0 <= region_w - 2
 
-    bh = max(ALIGN_H, region_h // 2)
-    bw = max(ALIGN_W, region_w // 2)
+    # cells at most HALF the usable window: any single cell always fits a
+    # window (so nothing overflows to residuals by bucketing alone — the old
+    # (8, 128) alignment floors could make one bucket wider than a small
+    # window, which is what exploded residuals at small candidate windows on
+    # seam scenes), and 2x2 adjacent cells can still merge into one window
+    bh = max(4, (region_h - 2) // 2)
+    bw = max(4, (region_w - 2) // 2)
     labels = np.full(iy0_t.shape, -1, np.int32)
-    cell = (iy0_t.astype(np.int64) // bh) * 1_000_000 + ix0_t // bw
-    cell = np.where(valid_t, cell, -1)
-    uniq, counts = np.unique(cell[valid_t], return_counts=True)
+    vy = iy0_t[valid_t]
+    vx = ix0_t[valid_t]
+    if vy.size == 0:
+        return labels, []
+    cell = (vy.astype(np.int64) // bh) * 1_000_000 + vx // bw
+    uniq, inv, counts = np.unique(cell, return_inverse=True,
+                                  return_counts=True)
+    # per-bucket bboxes in one vectorized pass (this loop runs for every
+    # seam tile of every view and sim candidate — boolean-mask reductions
+    # per bucket were the planner's hottest line)
+    nb = len(uniq)
+    order_px = np.argsort(inv, kind="stable")
+    starts = np.zeros(nb, np.int64)
+    starts[1:] = np.cumsum(counts[:-1])
+    sy = vy[order_px]
+    sx = vx[order_px]
+    by0 = np.minimum.reduceat(sy, starts)
+    by1 = np.maximum.reduceat(sy, starts)
+    bx0 = np.minimum.reduceat(sx, starts)
+    bx1 = np.maximum.reduceat(sx, starts)
     groups = []
-    for ci in uniq[np.argsort(-counts, kind="stable")]:
-        sel = cell == ci
-        y0 = int(iy0_t[sel].min())
-        y1 = int(iy0_t[sel].max())
-        x0 = int(ix0_t[sel].min())
-        x1 = int(ix0_t[sel].max())
-        placed = False
+    bucket_group = np.full(nb, -1, np.int32)
+    for bi in np.argsort(-counts, kind="stable"):
+        y0, y1 = int(by0[bi]), int(by1[bi])
+        x0, x1 = int(bx0[bi]), int(bx1[bi])
+        # best-fit: merge into the group whose union bbox grows least
+        # (first-fit stranded tight groups behind a sprawling group 0)
+        best = None
         for gi, g in enumerate(groups):
             ny0, ny1 = min(g[0], y0), max(g[1], y1)
             nx0, nx1 = min(g[2], x0), max(g[3], x1)
             if bbox_fits(ny0, ny1, nx0, nx1):
-                groups[gi] = (ny0, ny1, nx0, nx1)
-                labels[sel] = gi
-                placed = True
-                break
-        if not placed and len(groups) < MAX_TILE_ENTRIES \
-                and bbox_fits(y0, y1, x0, x1):
+                grow = ((ny1 - ny0) * (nx1 - nx0)
+                        - (g[1] - g[0]) * (g[3] - g[2]))
+                if best is None or grow < best[0]:
+                    best = (grow, gi, (ny0, ny1, nx0, nx1))
+        if best is not None:
+            groups[best[1]] = best[2]
+            bucket_group[bi] = best[1]
+        elif len(groups) < MAX_TILE_ENTRIES and bbox_fits(y0, y1, x0, x1):
             groups.append((y0, y1, x0, x1))
-            labels[sel] = len(groups) - 1
+            bucket_group[bi] = len(groups) - 1
+    labels[valid_t] = bucket_group[inv]
     return labels, groups
 
 
@@ -491,11 +543,22 @@ def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
     e_band = [fb.astype(np.int32)]
     e_salive = [wm[fit_ids].any(axis=1)]
 
+    # per-island group origins prefer the same half-region coarse grid as
+    # fitting tiles: groups from neighboring seam tiles then share identical
+    # windows and the schedule sort coalesces their loads into one run
+    coarse_y = max(8, (region_h // 2 // 8) * 8)
+    coarse_x = max(8, (region_w // 2 // 8) * 8)
     for t in np.nonzero(alive & ~fits)[0]:
         labs, groups = _tile_partition(iy0[t], ix0[t], valid[t],
                                        region_h, region_w)
         labels[t] = np.where(valid[t], labs, -1)
         for gi, (y0, y1, x0, x1) in enumerate(groups):
+            y0s = (max(y0, 0) // coarse_y) * coarse_y
+            if y1 - y0s <= region_h - 2:
+                y0 = y0s
+            x0s = (max(x0, 0) // coarse_x) * coarse_x
+            if x1 - x0s <= region_w - 2:
+                x0 = x0s
             b = int(np.clip((y0 + y1) // 2 // band_h, 0, n_bands - 1))
             r0 = b * band_h
             oy_c = int(np.clip(y0, r0, max(r0 + band_h - region_h, r0)))

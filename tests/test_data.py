@@ -150,6 +150,44 @@ def test_scene_cache_and_batching(tmp_path):
     assert batches[1] == [1, 1, 1, 1]
 
 
+def test_plan_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """attach_splat_plans caches to disk: a second cache with identical
+    inputs loads bit-identical plans instead of re-planning."""
+    import dataclasses
+
+    import numpy as np
+
+    monkeypatch.setenv("STYLEMESH_PLAN_CACHE_DIR", str(tmp_path / "plans"))
+    _make_scannet_scene(tmp_path)
+    scenes = discover_scannet_scenes(str(tmp_path), min_pyramid_height=16)
+    spec = select_scene(scenes, name="scene0000_00", min_images=1,
+                        max_images=-1)
+    layer_sizes = [(64, 128), (32, 64)]
+    a = SceneCache(spec, resize_size=16)
+    a.attach_splat_plans(layer_sizes, use_angle_weight=True,
+                         use_depth_scaling=True)
+    assert len(list((tmp_path / "plans").iterdir())) == 1
+    b = SceneCache(spec, resize_size=16)
+    b.attach_splat_plans(layer_sizes, use_angle_weight=True,
+                         use_depth_scaling=True)
+    for la, lb in zip(a._view_plans, b._view_plans):
+        for pa, pb in zip(la, lb):
+            assert (pa is None) == (pb is None)
+            if pa is None:
+                continue
+            for f in dataclasses.fields(pa):
+                va, vb = getattr(pa, f.name), getattr(pb, f.name)
+                if isinstance(va, np.ndarray):
+                    assert np.array_equal(va, vb), f.name
+                else:
+                    assert va == vb, f.name
+    # different planner inputs miss the cache (new entry, not a stale hit)
+    c = SceneCache(spec, resize_size=16)
+    c.attach_splat_plans(layer_sizes, use_angle_weight=False,
+                         use_depth_scaling=False)
+    assert len(list((tmp_path / "plans").iterdir())) == 2
+
+
 def test_select_scene_range(tmp_path):
     _make_scannet_scene(tmp_path)
     scenes = discover_scannet_scenes(str(tmp_path), min_pyramid_height=16)

@@ -98,6 +98,18 @@ def test_splat_three_island_entries():
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_splat_small_window_partition_no_residuals():
+    """Seam tiles partition cleanly at windows far below the old (8, 128)
+    bucket floors: no pixel falls to the residual scatter just because one
+    bucket cell was wider than the window (the failure that made small
+    candidate windows explode residuals on seam-heavy scenes)."""
+    uv = _seamed_uv(2, 24, 128)
+    out, ref, plan = _run(uv, 128, 512, region_h=32, region_w=64)
+    assert plan.labels.max() >= 1  # tiles did get partitioned
+    assert plan.res_weight.sum() == 0
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_splat_many_island_residual_overflow():
     """More islands than MAX_TILE_ENTRIES in one tile: the overflow pixels
     (label -1) fall back to the residual scatter and still match."""
