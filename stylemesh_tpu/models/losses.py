@@ -96,6 +96,12 @@ class ContentAndStyleLoss:
     remat_min_px: int = 0
     compute_dtype: Optional[jnp.dtype] = None
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    # pyramid levels statically known to be empty for EVERY view of the
+    # scene (whole-scene depth-level analysis in optimize.py): their VGG
+    # encode and every gram/content term are skipped at trace time. The
+    # reference equivalently drops empty levels each step
+    # (model.py:256-257); the static skip also deletes the dead compute.
+    skip_levels: Tuple[int, ...] = ()
 
     def __post_init__(self):
         assert self.style_pyramid_mode in ("single", "multi"), self.style_pyramid_mode
@@ -172,8 +178,9 @@ class ContentAndStyleLoss:
         gram_counts = [dict() for _ in range(num_levels)]
         use_fused = (self.compute_dtype == jnp.bfloat16
                      and os.environ.get("STYLEMESH_FAST_GRAM", "1") != "0")
+        live = [i for i in range(num_levels) if i not in self.skip_levels]
 
-        for i in range(num_levels):
+        for i in live:
             mask = pyramid_masks[i].astype(jnp.float32)
             hw = tuple(mask.shape[1:3])
             passed = resize_bilinear(angle_degrees.astype(jnp.float32),
@@ -216,9 +223,9 @@ class ContentAndStyleLoss:
         # --- normalize factors across levels per layer (reference :199-204),
         # guarded against all-empty layers (reference would drop such batches).
         for k in all_layers:
-            total = sum(factors[i][k] for i in range(num_levels))
+            total = sum(factors[i][k] for i in live)
             safe = jnp.where(total > 0, total, 1.0)
-            for i in range(num_levels):
+            for i in live:
                 factors[i][k] = jnp.where(total > 0, factors[i][k] / safe, 0.0)
 
         return dict(masks=masks, masks_passed=masks_passed,
@@ -248,6 +255,11 @@ class ContentAndStyleLoss:
         num_levels = len(pred_pyramid)
         v = target_content.shape[0]
         all_layers = self.layers
+        # statically-empty levels (``skip_levels``): the pipeline passes
+        # ``None`` for their (unrendered) pyramid entries; every term they
+        # would contribute is exactly zero, so they are skipped at trace time
+        live = [i for i in range(num_levels)
+                if i not in self.skip_levels and pred_pyramid[i] is not None]
 
         # the VGG activations of the prediction pyramid are the memory peak
         # of the step (up to 960px x 64ch per level x batch); remat recomputes
@@ -261,11 +273,13 @@ class ContentAndStyleLoss:
                 return encode_remat(p)
             return encode(p)
 
-        pred_encs = [encode_level(p) for p in pred_pyramid]
+        pred_encs = [encode_level(p) if i in live else None
+                     for i, p in enumerate(pred_pyramid)]
 
         if aux is None:
             aux = self.precompute_aux(
-                vgg_params, [p.shape[1:3] for p in pred_pyramid],
+                vgg_params,
+                [None if p is None else p.shape[1:3] for p in pred_pyramid],
                 target_content, pyramid_masks, angle_degrees)
         masks = aux["masks"]
         masks_passed = aux["masks_passed"]
@@ -283,6 +297,9 @@ class ContentAndStyleLoss:
         y_hat_grams = []
         failed_grams = [dict() for _ in range(num_levels)]
         for i in range(num_levels):
+            if i not in live:
+                y_hat_grams.append(None)
+                continue
             g = {}
             for k in self.style_layers:
                 if k in gram_masks_t[i]:
@@ -314,8 +331,8 @@ class ContentAndStyleLoss:
             # level that is empty for a view never pushes (the reference
             # drops empty levels before the loss, model.py:256-257).
             level_nonempty = [
-                jnp.sum(pyramid_masks[i].astype(jnp.float32).reshape(v, -1),
-                        axis=1) > 0
+                (jnp.sum(pyramid_masks[i].astype(jnp.float32).reshape(v, -1),
+                         axis=1) > 0) if i in live else None
                 for i in range(num_levels)
             ]
             slot = jax.lax.broadcasted_iota(
@@ -325,7 +342,7 @@ class ContentAndStyleLoss:
             mixed = [{k: [] for k in self.style_layers}
                      for _ in range(num_levels)]
             for vi in range(v):
-                for i in range(num_levels):
+                for i in live:
                     count_snap = count
                     ne = level_nonempty[i][vi]
                     for k in self.style_layers:
@@ -345,7 +362,7 @@ class ContentAndStyleLoss:
                     count = jnp.where(
                         ne, jnp.minimum(count_snap + 1, GRAM_CACHE_DEPTH),
                         count_snap)
-            for i in range(num_levels):
+            for i in live:
                 for k in self.style_layers:
                     y_hat_grams[i][k] = jnp.stack(mixed[i][k], axis=0)
             new_cache = GramCache(grams=cache_grams, count=count)
@@ -353,7 +370,7 @@ class ContentAndStyleLoss:
         style_loss = jnp.zeros((), dtype=jnp.float32)
         content_loss = jnp.zeros((), dtype=jnp.float32)
 
-        for i in range(num_levels):
+        for i in live:
             for li, k in enumerate(self.style_layers):
                 w = jnp.float32(self.style_weights[li])
                 f = factors[i][k]  # [V]

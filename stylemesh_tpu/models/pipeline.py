@@ -134,6 +134,12 @@ class PipelineConfig:
     kernel_compute: str = "f32"  # splat/gather kernel math: "f32" | "bf16"
     remat_vgg: bool = True  # recompute VGG activations in backward
     remat_min_px: int = 0  # remat only levels with >= this many pixels
+    # pyramid levels statically empty for EVERY view of the scene (computed
+    # from the whole-scene depth levels in optimize.py; all-but-last when
+    # depth scaling is off): their render, VGG encode, and loss terms are
+    # skipped at trace time — exactly the levels the reference drops per
+    # step at runtime (model.py:256-257)
+    skip_levels: Tuple[int, ...] = ()
 
     def resolved_tex_reg_weights(self):
         if self.tex_reg_weights is not None:
@@ -161,6 +167,7 @@ class PipelineConfig:
             remat_min_px=self.remat_min_px,
             compute_dtype=self.compute_dtype,
             precision=self.precision,
+            skip_levels=self.skip_levels,
         )
 
 
@@ -296,7 +303,7 @@ class TexturePipeline:
         # the combined per-level weight (angle x depth interpolation) is a
         # batch constant precomputed by prepare_batch
         if aux.grad_weights is not None:
-            pred_pyramid = [_grad_scale(p, w)
+            pred_pyramid = [p if p is None else _grad_scale(p, w)
                             for p, w in zip(pred_pyramid, aux.grad_weights)]
 
         # 3. content + style
@@ -331,14 +338,18 @@ class TexturePipeline:
         hoisted so its transposes are paid once per step, not once per
         (level, layer). Overridden by the atlas-sharded pipeline."""
         cfg = self.config
+        skip = set(cfg.skip_levels)
         if batch.splat_plans is not None and cfg.use_splat_kernel:
             tex_cf = texture_channel_first(texture)
             return [
+                None if i in skip else
                 sample_texture(texture, uv, plans=plans, texture_cf=tex_cf,
                                compute=cfg.kernel_compute)
-                for uv, plans in zip(batch.uv, batch.splat_plans)
+                for i, (uv, plans) in enumerate(zip(batch.uv,
+                                                    batch.splat_plans))
             ]
-        return [sample_texture(texture, uv) for uv in batch.uv]
+        return [None if i in skip else sample_texture(texture, uv)
+                for i, uv in enumerate(batch.uv)]
 
     def _tex_reg(self, texture: Texture):
         return texture_regularizer(texture, self.resolved_reg_weights)

@@ -171,6 +171,28 @@ def discover_scene(run: RunConfig):
                         seed=run.seed)
 
 
+def scene_skip_levels(scene_cache, pipe_cfg: PipelineConfig):
+    """Pyramid levels with no live loss pixel in ANY view of the scene.
+
+    With depth scaling, a level's loss mask is (rounded|other depth level ==
+    i) & uv-mask, eroded then resized (pipeline.depth_pyramid_masks) — if the
+    raw mask is empty scene-wide, every derived mask and gradient weight is
+    exactly zero, so the level can be skipped at trace time (shallow real
+    scans never populate the near levels). Without depth scaling only the
+    last level carries loss by construction (model.py:253-254). This is the
+    static-compile analogue of the reference dropping empty levels per step
+    (model.py:256-257)."""
+    b = scene_cache._batch_all
+    n = len(b.uv)
+    if not pipe_cfg.use_depth_scaling:
+        return tuple(range(max(0, n - 1)))
+    mask = np.asarray(b.mask) > 0
+    rounded = np.asarray(b.rounded_depth_level)
+    other = np.asarray(b.other_depth_level)
+    return tuple(i for i in range(n)
+                 if not (((rounded == i) | (other == i)) & mask).any())
+
+
 def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
                  scene_cache: Optional[SceneCache] = None,
                  vgg_params=None, style_image=None):
@@ -226,6 +248,12 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         1, len(epoch_indices(train_idx, run.sampler_mode, run.index_repeat))
         // run.views_per_batch)
     pipe_cfg = dataclasses.replace(pipe_cfg, steps_per_epoch=steps_per_epoch)
+
+    skip = scene_skip_levels(scene_cache, pipe_cfg)
+    if skip:
+        print(f"pyramid levels empty for every view — statically skipped: "
+              f"{list(skip)}")
+        pipe_cfg = dataclasses.replace(pipe_cfg, skip_levels=skip)
 
     with clock.phase("pipeline_build"):
         if multi_style:

@@ -103,9 +103,13 @@ class AtlasShardedPipeline(TexturePipeline):
         """Runs inside shard_map with band-local texture layers and the
         band's plan slices."""
         cfg = self.config
+        skip = set(cfg.skip_levels)
         out = []
-        for uv, plans in zip(batch.uv, batch.splat_plans or
-                             [None] * len(batch.uv)):
+        for i, (uv, plans) in enumerate(zip(batch.uv, batch.splat_plans or
+                                            [None] * len(batch.uv))):
+            if i in skip:  # statically-empty level (see TexturePipeline)
+                out.append(None)
+                continue
             acc = None
             for li, layer_band in enumerate(texture.layers):
                 plan = None if plans is None else plans[li]

@@ -109,6 +109,40 @@ def test_full_gradient_parity_vs_torch_hooks():
 # ------------------------------------------------------------- end to end
 
 
+def test_static_level_skip_matches_full():
+    """A pyramid level empty in every view contributes exactly nothing, so
+    statically skipping it (skip_levels) must reproduce the full pipeline's
+    losses and texture trajectory bit-for-bit-close — including the
+    gram-average cache walk (an empty level never pushes)."""
+    batch = synthetic_view_batch(num_views=2, content_hw=(48, 64),
+                                 level_heights=(48, 72, 96), seed=7)
+    batch = batch._replace(
+        rounded_depth_level=np.maximum(batch.rounded_depth_level, 1),
+        other_depth_level=np.maximum(batch.other_depth_level, 1))
+    vgg = init_vgg_params(rng=4, scale=0.08)
+    base = dict(
+        texture_width=128, texture_height=128, hierarchical_layers=2,
+        use_angle_weight=True, use_depth_scaling=True,
+        content_weight=7e1, style_weight=1e-4, tex_reg_weight=5e3,
+        learning_rate=0.5, decay_step_size=100, style_min_size=32,
+        style_pyramid_mode="multi", gram_mode="average")
+    style = jnp.asarray(
+        (RNG.random((1, 96, 128, 3)).astype(np.float32) - 0.45) * 255.0)
+    p_full = TexturePipeline(PipelineConfig(**base), vgg, style)
+    p_skip = TexturePipeline(PipelineConfig(**base, skip_levels=(0,)), vgg,
+                             style)
+    s_full = p_full.init()
+    s_skip = p_skip.init()
+    for _ in range(3):
+        s_full, l_full = p_full.train_step(s_full, batch)
+        s_skip, l_skip = p_skip.train_step(s_skip, batch)
+        for k in l_full:
+            np.testing.assert_allclose(float(l_full[k]), float(l_skip[k]),
+                                       rtol=1e-6, err_msg=k)
+    for a, b in zip(s_full.texture.layers, s_skip.texture.layers):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_train_step_decreases_loss():
     batch = synthetic_view_batch(num_views=2, content_hw=(48, 64),
                                  level_heights=(48, 72, 96), seed=5)
