@@ -52,7 +52,9 @@ def main():
     g = jnp.asarray(rng.normal(size=uv.shape[:3] + (3,)), jnp.float32)
 
     for label, rh, rw in [("auto", None, None), ("v3ish 144x256", 144, 256),
-                          ("256x256", 256, 256), ("152x96", 152, 96)]:
+                          ("256x256", 256, 256), ("152x96", 152, 96),
+                          ("r2-pick 160x112", 160, 112),
+                          ("small 96x64", 96, 64)]:
         plan = plan_arrays_for_views(uv, TEX, TEX, region_h=rh, region_w=rw)
         runs = int(plan.s_load.sum())
         cap = plan.res_texel.shape[-1]
