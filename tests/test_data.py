@@ -170,22 +170,34 @@ def test_plan_disk_cache_roundtrip(tmp_path, monkeypatch):
     b = SceneCache(spec, resize_size=16)
     b.attach_splat_plans(layer_sizes, use_angle_weight=True,
                          use_depth_scaling=True)
-    for la, lb in zip(a._view_plans, b._view_plans):
-        for pa, pb in zip(la, lb):
-            assert (pa is None) == (pb is None)
-            if pa is None:
-                continue
-            for f in dataclasses.fields(pa):
-                va, vb = getattr(pa, f.name), getattr(pb, f.name)
-                if isinstance(va, np.ndarray):
-                    assert np.array_equal(va, vb), f.name
-                else:
-                    assert va == vb, f.name
+
+    def assert_same(plans_a, plans_b):
+        for la, lb in zip(plans_a, plans_b):
+            for pa, pb in zip(la, lb):
+                assert (pa is None) == (pb is None)
+                if pa is None:
+                    continue
+                for f in dataclasses.fields(pa):
+                    va, vb = getattr(pa, f.name), getattr(pb, f.name)
+                    if isinstance(va, np.ndarray):
+                        assert np.array_equal(va, vb), f.name
+                    else:
+                        assert va == vb, f.name
+
+    assert_same(a._view_plans, b._view_plans)
     # different planner inputs miss the cache (new entry, not a stale hit)
     c = SceneCache(spec, resize_size=16)
     c.attach_splat_plans(layer_sizes, use_angle_weight=False,
                          use_depth_scaling=False)
     assert len(list((tmp_path / "plans").iterdir())) == 2
+    # atlas-banded plans (leading band axis, band-local residuals) roundtrip
+    d1 = SceneCache(spec, resize_size=16)
+    d1.attach_splat_plans(layer_sizes, n_bands=2)
+    d2 = SceneCache(spec, resize_size=16)
+    d2.attach_splat_plans(layer_sizes, n_bands=2)
+    assert len(list((tmp_path / "plans").iterdir())) == 3
+    assert d1._view_plans[0][0].tex_h_global == 64  # really banded
+    assert_same(d1._view_plans, d2._view_plans)
 
 
 def test_select_scene_range(tmp_path):
