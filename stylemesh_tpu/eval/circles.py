@@ -132,7 +132,26 @@ def detect_ellipses(image_bgr, max_hull_deviation=2.0, max_stretch=10.0,
     return out
 
 
-def measure_frame(image_bgr, depth, angle_degrees, world_coords, t=1.5):
+def _bucket_colors(radii, t):
+    """Radius-bucket debug colors vs the median — the reference's BGR coding
+    (measure_circles.py:130-157): blue < med/t, green < med, yellow < med*t,
+    purple above."""
+    med = float(np.median(np.asarray(radii))) if len(radii) else 0.0
+    colors = []
+    for r in radii:
+        if r < med / t:
+            colors.append((255, 0, 0))
+        elif r < med:
+            colors.append((0, 255, 0))
+        elif med < r < med * t:
+            colors.append((0, 255, 255))
+        else:
+            colors.append((255, 0, 255))
+    return colors
+
+
+def measure_frame(image_bgr, depth, angle_degrees, world_coords, t=1.5,
+                  debug=False):
     """Per-frame circle statistics (measure_circles.py:185-400).
 
     Args:
@@ -140,8 +159,12 @@ def measure_frame(image_bgr, depth, angle_degrees, world_coords, t=1.5):
         depth: ``[H, W, 1]`` metric depth.
         angle_degrees: ``[H, W, 1]`` viewing angle.
         world_coords: ``[H, W, >=3]`` unprojected world points per pixel.
+        debug: also return the annotated ellipse image and scatter data —
+            the file-saving twin of the reference's interactive verbose mode
+            (measure_circles.py:349-400, cv.imshow + plt.scatter), which has
+            no display in this headless environment.
     Returns:
-        (stats dict, n detected circles).
+        (stats dict, n detected circles), plus a debug dict when ``debug``.
     """
     img_h, img_w = image_bgr.shape[:2]
     depth2 = depth.squeeze()
@@ -149,6 +172,7 @@ def measure_frame(image_bgr, depth, angle_degrees, world_coords, t=1.5):
     detections = detect_ellipses(image_bgr)
 
     centers, h_edges, v_edges, radii, stretches = [], [], [], [], []
+    ellipses = []
     for ellipse, radius, stretch in detections:
         box = cv2.boxPoints(ellipse)
         tl, tr, br, bl = _order_points(box)
@@ -168,6 +192,7 @@ def measure_frame(image_bgr, depth, angle_degrees, world_coords, t=1.5):
         v_edges.append(ve)
         radii.append(radius)
         stretches.append(stretch)
+        ellipses.append(ellipse)
 
     # 3D: unproject center + edge midpoints, measure world-space axes
     radii_3d, stretches_3d, centers_3d = [], [], []
@@ -186,26 +211,51 @@ def measure_frame(image_bgr, depth, angle_degrees, world_coords, t=1.5):
     stats3, _ = _median_buckets(radii_3d, t, "_3D")
     stats.update(stats3)
 
-    corr, _, _ = _corr_from_lookup(centers, radii, depth)
+    scatter = {}
+    corr, xs, ys = _corr_from_lookup(centers, radii, depth)
     stats["corr_depth_2D"] = corr
-    corr, _, _ = _corr_from_lookup(centers_3d, radii_3d, depth)
+    scatter["depth_vs_radius_2D"] = (xs, ys)
+    corr, xs, ys = _corr_from_lookup(centers_3d, radii_3d, depth)
     stats["corr_depth_3D"] = corr
-    corr, _, ys = _corr_from_lookup(centers, stretches, angle_degrees)
+    scatter["depth_vs_radius_3D"] = (xs, ys)
+    corr, xs, ys = _corr_from_lookup(centers, stretches, angle_degrees)
     stats["corr_angle_2D"] = corr
+    scatter["angle_vs_stretch_2D"] = (xs, ys)
     stats["mean_stretch_2D"] = float(np.mean(ys)) if ys else float("nan")
     stats["median_stretch_2D"] = float(np.median(ys)) if ys else float("nan")
     stats["std_stretch_2D"] = float(np.std(ys)) if ys else float("nan")
-    corr, _, ys = _corr_from_lookup(centers_3d, stretches_3d, angle_degrees)
+    corr, xs, ys = _corr_from_lookup(centers_3d, stretches_3d, angle_degrees)
     stats["corr_angle_3D"] = corr
+    scatter["angle_vs_stretch_3D"] = (xs, ys)
     stats["mean_stretch_3D"] = float(np.mean(ys)) if ys else float("nan")
     stats["median_stretch_3D"] = float(np.median(ys)) if ys else float("nan")
     stats["std_stretch_3D"] = float(np.std(ys)) if ys else float("nan")
-    return stats, n
+    if not debug:
+        return stats, n
+    # annotated frame: every kept ellipse drawn in its radius-bucket color,
+    # measurement edge points in red (measure_circles.py:364-372)
+    canvas = np.ascontiguousarray(image_bgr.copy())
+    for ellipse, color, he, ve in zip(ellipses, _bucket_colors(radii, t),
+                                      h_edges, v_edges):
+        cv2.ellipse(canvas, ellipse, color, thickness=2)
+        cv2.circle(canvas, (int(ellipse[0][0]), int(ellipse[0][1])), 1,
+                   color, thickness=1)
+        cv2.circle(canvas, (int(he[0]), int(he[1])), 1, (0, 0, 255),
+                   thickness=2)
+        cv2.circle(canvas, (int(ve[0]), int(ve[1])), 1, (0, 0, 255),
+                   thickness=2)
+    scatter = {k: {"x": [float(x) for x in xs], "y": [float(y) for y in ys]}
+               for k, (xs, ys) in scatter.items()}
+    return stats, n, {"image": canvas, "scatter": scatter}
 
 
-def measure_circles_for_scene(scene_cache, styled_dir, t=1.5, out_path=None):
+def measure_circles_for_scene(scene_cache, styled_dir, t=1.5, out_path=None,
+                              debug_dir=None):
     """Aggregate the per-frame statistics over a scene, weighted by circle
-    count (measure_circles.py:403-479)."""
+    count (measure_circles.py:403-479). With ``debug_dir``, also saves the
+    per-frame annotated ellipse image (``circles_<idx>.png``) and the
+    scatter data behind every correlation (``circles_scatter.json``) — the
+    audit artifacts the reference shows interactively in verbose mode."""
     import jax.numpy as jnp
 
     from stylemesh_tpu.geometry.project import unproject
@@ -213,6 +263,9 @@ def measure_circles_for_scene(scene_cache, styled_dir, t=1.5, out_path=None):
     b = scene_cache._batch_all
     totals = {}
     n_total = 0
+    all_scatter = {}
+    if debug_dir:
+        os.makedirs(debug_dir, exist_ok=True)
     for p, idx in enumerate(scene_cache.indices):
         img = cv2.imread(join(styled_dir, f"{idx}.png"))
         if img is None:
@@ -223,8 +276,17 @@ def measure_circles_for_scene(scene_cache, styled_dir, t=1.5, out_path=None):
         coords = np.asarray(unproject(
             jnp.asarray(b.extrinsics[p:p + 1]), jnp.asarray(b.intrinsics[p:p + 1]),
             jnp.asarray(depth[None])))[0]
-        stats, n = measure_frame(img, depth, np.asarray(b.angle_degrees[p]),
-                                 coords, t=t)
+        res = measure_frame(img, depth, np.asarray(b.angle_degrees[p]),
+                            coords, t=t, debug=bool(debug_dir))
+        if debug_dir:
+            stats, n, dbg = res
+            cv2.imwrite(join(debug_dir, f"circles_{idx}.png"), dbg["image"])
+            for k, v in dbg["scatter"].items():
+                agg = all_scatter.setdefault(k, {"x": [], "y": []})
+                agg["x"] += v["x"]
+                agg["y"] += v["y"]
+        else:
+            stats, n = res
         if n == 0:
             continue
         n_total += n
@@ -233,7 +295,54 @@ def measure_circles_for_scene(scene_cache, styled_dir, t=1.5, out_path=None):
                 totals[k] = totals.get(k, 0.0) + v * n
     result = {k: v / n_total for k, v in totals.items()} if n_total else {}
     result["n_circles"] = n_total
+    if debug_dir:
+        with open(join(debug_dir, "circles_scatter.json"), "w") as f:
+            json.dump(all_scatter, f)
     if out_path:
         with open(out_path, "w") as f:
             json.dump(result, f, indent=2)
     return result
+
+
+def main(argv=None):
+    """Standalone circle-metric CLI — the rebuild's twin of the reference's
+    ``scripts/eval/measure_circles.py`` entry point (argparse there,
+    :481-520): point it at a baked scene and a styled-frame folder.
+
+    Usage::
+
+        python -m stylemesh_tpu.eval.circles --root_path <scannet_root> \\
+            --scene scene0000_00 --styled <dir with <idx>.png> \\
+            [--t 1.5] [--out circles.json] [--debug_dir <dir>]
+    """
+    import argparse
+
+    from stylemesh_tpu.data.loading import SceneCache
+    from stylemesh_tpu.optimize import RunConfig, discover_scene
+
+    p = argparse.ArgumentParser(description="circle pattern metric")
+    p.add_argument("--root_path", required=True)
+    p.add_argument("--dataset", default="scannet",
+                   choices=["scannet", "matterport"])
+    p.add_argument("--scene", default="")
+    p.add_argument("--styled", required=True,
+                   help="folder of styled frames named <view_idx>.png")
+    p.add_argument("--t", type=float, default=1.5,
+                   help="median bucket factor (reference opt.t)")
+    p.add_argument("--resize_size", type=int, default=256)
+    p.add_argument("--min_pyramid_height", type=int, default=32)
+    p.add_argument("--out", default=None, help="write result JSON here")
+    p.add_argument("--debug_dir", default=None,
+                   help="save annotated ellipse images + scatter data here")
+    a = p.parse_args(argv)
+    run = RunConfig(root_path=a.root_path, dataset=a.dataset, scene=a.scene,
+                    min_images=1, resize_size=a.resize_size,
+                    min_pyramid_height=a.min_pyramid_height)
+    cache = SceneCache(discover_scene(run), resize_size=a.resize_size)
+    result = measure_circles_for_scene(cache, a.styled, t=a.t,
+                                       out_path=a.out, debug_dir=a.debug_dir)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,18 @@ def test_measure_frame_statistics():
     # uniform world scale: 3D radii proportional to 2D ones here
     assert stats["mean_stretch_2D"] < 1.5
 
+    # debug mode: annotated image (ellipses drawn -> differs from input) and
+    # scatter data behind every correlation
+    stats2, n2, dbg = measure_frame(img, depth, angle, coords, debug=True)
+    assert n2 == n
+    for k in stats:  # nan-tolerant equality (flat-depth corr is nan)
+        np.testing.assert_array_equal(np.float64(stats[k]),
+                                      np.float64(stats2[k]), err_msg=k)
+    assert dbg["image"].shape == img.shape and (dbg["image"] != img).any()
+    for k in ("depth_vs_radius_2D", "depth_vs_radius_3D",
+              "angle_vs_stretch_2D", "angle_vs_stretch_3D"):
+        assert len(dbg["scatter"][k]["x"]) == len(dbg["scatter"][k]["y"]) > 0
+
 
 def test_lpips_basic_properties():
     params = init_vgg_params(rng=2, scale=0.08)
