@@ -169,7 +169,9 @@ def views_to_batch(views: Sequence[View]) -> ViewBatch:
 
 
 def _save_plan_cache(path, view_plans):
-    """Serialize [level][layer] PlanArrays|None to one flat npz (atomic)."""
+    """Serialize [level][layer] PlanArrays|None to one flat npz (atomic;
+    per-process temp name so concurrent runs of the same scene can't
+    interleave writes — last replace wins with a complete file)."""
     arrs = {}
     for li, per_layer in enumerate(view_plans):
         for ti, plan in enumerate(per_layer):
@@ -177,16 +179,18 @@ def _save_plan_cache(path, view_plans):
                 continue
             for f in dataclasses.fields(plan):
                 arrs[f"l{li}t{ti}_{f.name}"] = np.asarray(getattr(plan, f.name))
-    tmp = path + ".tmp.npz"
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
     try:
         np.savez(tmp, **arrs)
         os.replace(tmp, path)
     except OSError:  # disk-full etc. — the cache is best-effort
-        if os.path.exists(tmp):
+        try:
             os.remove(tmp)
+        except OSError:
+            pass
 
 
-def _load_plan_cache(path, n_levels, plan_layer_sizes):
+def _load_plan_cache(path, n_levels, plan_layer_sizes, skip_levels=()):
     """Inverse of :func:`_save_plan_cache`; None on any mismatch."""
     from stylemesh_tpu.ops.splat_plan import PlanArrays
 
@@ -195,6 +199,9 @@ def _load_plan_cache(path, n_levels, plan_layer_sizes):
         out = []
         with np.load(path) as z:
             for li in range(n_levels):
+                if li in skip_levels:
+                    out.append([None] * len(plan_layer_sizes))
+                    continue
                 per = []
                 for ti, hw in enumerate(plan_layer_sizes):
                     if hw is None:
@@ -243,7 +250,8 @@ class SceneCache:
         return self.spec.levels
 
     def attach_splat_plans(self, layer_sizes, use_angle_weight=False,
-                           use_depth_scaling=False, n_bands=1):
+                           use_depth_scaling=False, n_bands=1,
+                           skip_levels=()):
         """Precompute Pallas splat plans for every cached view and texture
         layer (see ops/splat_plan.py). ``layer_sizes``: [(h, w)] per texture
         layer. Plans are constants per scene; batches then assemble them by
@@ -257,6 +265,10 @@ class SceneCache:
         ``n_bands > 1`` builds atlas-banded plans (leading band axis on every
         schedule array) for :class:`parallel.atlas.AtlasShardedPipeline` —
         one band per chip of the atlas mesh axis.
+
+        ``skip_levels``: pyramid levels the pipeline will statically skip
+        (optimize.scene_skip_levels) — no plans are built, cached, sliced,
+        or device-transferred for them.
         """
         from stylemesh_tpu.data.grad_masks import grad_weight_masks
         from stylemesh_tpu.ops.splat_plan import (
@@ -281,16 +293,20 @@ class SceneCache:
         # planner version) — all scene constants — so they cache to disk:
         # a warm re-run of a scene skips the ~minutes of host-side planning
         # entirely (the single biggest non-compile cold cost on this host)
-        cache_path = self._plan_cache_path(layer_sizes, wmasks, n_bands)
+        cache_path = self._plan_cache_path(layer_sizes, wmasks, n_bands,
+                                           skip_levels)
         if cache_path is not None and os.path.exists(cache_path):
             cached = _load_plan_cache(cache_path, len(b.uv),
-                                      self._plan_layer_sizes)
+                                      self._plan_layer_sizes, skip_levels)
             if cached is not None:
                 self._view_plans = cached
                 return
         # [level][layer] -> PlanArrays over all cached views | None
         self._view_plans = []
         for li, uv in enumerate(b.uv):
+            if li in skip_levels:  # statically-skipped: never planned
+                self._view_plans.append([None] * len(self._plan_layer_sizes))
+                continue
             per_layer = []
             for hw in self._plan_layer_sizes:
                 if hw is None:
@@ -308,7 +324,8 @@ class SceneCache:
         if cache_path is not None:
             _save_plan_cache(cache_path, self._view_plans)
 
-    def _plan_cache_path(self, layer_sizes, wmasks, n_bands):
+    def _plan_cache_path(self, layer_sizes, wmasks, n_bands,
+                         skip_levels=()):
         """Content-addressed path for the on-disk plan cache (None =
         disabled via STYLEMESH_PLAN_CACHE_DIR=0). The key hashes the full
         uv/mask bytes plus every planner input and the planner version, so a
@@ -323,7 +340,8 @@ class SceneCache:
             return None
         h = hashlib.sha1()
         h.update(repr((PLANNER_VERSION, [tuple(s) for s in layer_sizes],
-                       int(n_bands), wmasks is None)).encode())
+                       int(n_bands), wmasks is None,
+                       sorted(skip_levels))).encode())
         for uv in self._batch_all.uv:
             a = np.ascontiguousarray(np.asarray(uv, np.float32))
             h.update(repr(a.shape).encode())
@@ -331,7 +349,10 @@ class SceneCache:
         if wmasks is not None:
             for m in wmasks:
                 h.update(np.ascontiguousarray(np.asarray(m, bool)).tobytes())
-        os.makedirs(root, exist_ok=True)
+        try:
+            os.makedirs(root, exist_ok=True)
+        except OSError:  # unwritable cache root: plan without a cache
+            return None
         return os.path.join(root, h.hexdigest() + ".npz")
 
     def _assemble_plans(self, pos):

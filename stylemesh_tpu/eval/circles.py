@@ -75,21 +75,29 @@ def _corr_from_lookup(centers, ys, lut, filter_zero=True):
     return float(np.corrcoef(np.array([xs, ys]))[0, 1]), xs, ys
 
 
+def _radius_buckets(radii, t):
+    """Per-radius bucket names vs the median (measure_circles.py:130-157) —
+    the single source for both the statistics and the debug colors."""
+    med = float(np.median(np.asarray(radii))) if len(radii) else 0.0
+    out = []
+    for r in radii:
+        if r < med / t:
+            out.append("smallest")
+        elif r < med:
+            out.append("small")
+        elif med < r < med * t:
+            out.append("large")
+        else:
+            out.append("largest")
+    return out
+
+
 def _median_buckets(radii, t, suffix):
     stats = {f"{k}{suffix}": 0 for k in ("smallest", "small", "large", "largest")}
     n = len(radii)
     if n == 0:
         return {k: float("nan") for k in stats}, 0
-    med = np.median(np.asarray(radii))
-    for r in radii:
-        if r < med / t:
-            k = "smallest"
-        elif r < med:
-            k = "small"
-        elif med < r < med * t:
-            k = "large"
-        else:
-            k = "largest"
+    for k in _radius_buckets(radii, t):
         stats[f"{k}{suffix}"] += 1
     return {k: v / n for k, v in stats.items()}, n
 
@@ -132,22 +140,16 @@ def detect_ellipses(image_bgr, max_hull_deviation=2.0, max_stretch=10.0,
     return out
 
 
+# the reference's BGR bucket coding: blue/green/yellow/purple
+_BUCKET_BGR = {"smallest": (255, 0, 0), "small": (0, 255, 0),
+               "large": (0, 255, 255), "largest": (255, 0, 255)}
+
+
 def _bucket_colors(radii, t):
-    """Radius-bucket debug colors vs the median — the reference's BGR coding
-    (measure_circles.py:130-157): blue < med/t, green < med, yellow < med*t,
-    purple above."""
-    med = float(np.median(np.asarray(radii))) if len(radii) else 0.0
-    colors = []
-    for r in radii:
-        if r < med / t:
-            colors.append((255, 0, 0))
-        elif r < med:
-            colors.append((0, 255, 0))
-        elif med < r < med * t:
-            colors.append((0, 255, 255))
-        else:
-            colors.append((255, 0, 255))
-    return colors
+    """Debug colors derived from the SAME bucket assignment the statistics
+    report (so the annotated images always visualize the reported
+    smallest/small/large/largest fractions)."""
+    return [_BUCKET_BGR[k] for k in _radius_buckets(radii, t)]
 
 
 def measure_frame(image_bgr, depth, angle_degrees, world_coords, t=1.5,

@@ -201,6 +201,13 @@ def _roundup(x, m):
     return int(-(-int(x) // m) * m)
 
 
+def _coarse_grid(region):
+    """Half-region coarse anchor grid (8-sublane floor). Fitting tiles and
+    per-island seam groups MUST share this grid — identical window origins
+    are what lets the schedule sort coalesce their DMA runs."""
+    return max(8, (region // 2 // 8) * 8)
+
+
 def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W,
                   max_region_h=None):
     """Size the texel window for this (level, layer) from the footprint
@@ -506,7 +513,7 @@ def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
     # The fit test is exact against the chosen origin: the window must cover
     # the i1 corners too (max i0 + 1 < origin + region).
     def fit_axis(lo, hi, region):
-        coarse = max(8, (region // 2 // 8) * 8)
+        coarse = _coarse_grid(region)
         o_coarse = (np.maximum(lo, 0) // coarse) * coarse
         fits_coarse = (hi - o_coarse) <= (region - 2)
         o_fine = np.maximum(lo, 0)
@@ -544,10 +551,10 @@ def _plan_view(uv, tex_h, tex_w, tile_h, tile_w, region_h, region_w,
     e_salive = [wm[fit_ids].any(axis=1)]
 
     # per-island group origins prefer the same half-region coarse grid as
-    # fitting tiles: groups from neighboring seam tiles then share identical
-    # windows and the schedule sort coalesces their loads into one run
-    coarse_y = max(8, (region_h // 2 // 8) * 8)
-    coarse_x = max(8, (region_w // 2 // 8) * 8)
+    # fitting tiles (fit_axis): groups from neighboring seam tiles then share
+    # identical windows and the schedule sort coalesces their loads
+    coarse_y = _coarse_grid(region_h)
+    coarse_x = _coarse_grid(region_w)
     for t in np.nonzero(alive & ~fits)[0]:
         labs, groups = _tile_partition(iy0[t], ix0[t], valid[t],
                                        region_h, region_w)

@@ -225,6 +225,14 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         with clock.phase("scene_cache"):
             scene_cache = SceneCache(spec, resize_size=run.resize_size,
                                      verbose=True)
+    # statically-empty pyramid levels: decided BEFORE planning so skipped
+    # levels are never planned, cached, sliced, or device-transferred
+    skip = scene_skip_levels(scene_cache, pipe_cfg)
+    if skip:
+        print(f"pyramid levels empty for every view — statically skipped: "
+              f"{list(skip)}")
+        pipe_cfg = dataclasses.replace(pipe_cfg, skip_levels=skip)
+
     if pipe_cfg.use_splat_kernel and not getattr(scene_cache, "_view_plans", None):
         layer_sizes = [
             (pipe_cfg.texture_height // 2 ** i, pipe_cfg.texture_width // 2 ** i)
@@ -234,7 +242,8 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
             scene_cache.attach_splat_plans(
                 layer_sizes, use_angle_weight=pipe_cfg.use_angle_weight,
                 use_depth_scaling=pipe_cfg.use_depth_scaling,
-                n_bands=n_dev if shard_atlas else 1)
+                n_bands=n_dev if shard_atlas else 1,
+                skip_levels=pipe_cfg.skip_levels)
     if vgg_params is None:
         vgg_params = load_vgg(run.vgg_model_path)
     if style_image is None:
@@ -248,12 +257,6 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         1, len(epoch_indices(train_idx, run.sampler_mode, run.index_repeat))
         // run.views_per_batch)
     pipe_cfg = dataclasses.replace(pipe_cfg, steps_per_epoch=steps_per_epoch)
-
-    skip = scene_skip_levels(scene_cache, pipe_cfg)
-    if skip:
-        print(f"pyramid levels empty for every view — statically skipped: "
-              f"{list(skip)}")
-        pipe_cfg = dataclasses.replace(pipe_cfg, skip_levels=skip)
 
     with clock.phase("pipeline_build"):
         if multi_style:

@@ -10,8 +10,17 @@ must be forced through jax.config (legal until a backend initializes).
 """
 
 import os
+import tempfile
 
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# Isolate the splat-plan disk cache from the user-global default: test
+# scenes use seeded RNGs (identical uv bytes run-over-run), so a shared
+# cache could mask planner changes with stale plans — and tests must not
+# pollute ~/.cache. One fresh dir per test session still exercises the
+# cache code path.
+os.environ["STYLEMESH_PLAN_CACHE_DIR"] = tempfile.mkdtemp(
+    prefix="stylemesh_plan_cache_test_")
 
 # Persistent compilation cache: the loss/pipeline graphs are large and
 # compile slowly; reruns hit the cache.

@@ -167,9 +167,18 @@ def test_plan_disk_cache_roundtrip(tmp_path, monkeypatch):
     a.attach_splat_plans(layer_sizes, use_angle_weight=True,
                          use_depth_scaling=True)
     assert len(list((tmp_path / "plans").iterdir())) == 1
+    # the second attach MUST come from the cache: re-planning (a silently
+    # dead _load_plan_cache) would call the planner again and trip this
+    import stylemesh_tpu.ops.splat_plan as sp
+
+    def _boom(*a, **k):
+        raise AssertionError("cache miss: planner re-ran on identical inputs")
+
     b = SceneCache(spec, resize_size=16)
-    b.attach_splat_plans(layer_sizes, use_angle_weight=True,
-                         use_depth_scaling=True)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(sp, "plan_arrays_for_views", _boom)
+        b.attach_splat_plans(layer_sizes, use_angle_weight=True,
+                             use_depth_scaling=True)
 
     def assert_same(plans_a, plans_b):
         for la, lb in zip(plans_a, plans_b):
