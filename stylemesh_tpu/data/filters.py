@@ -68,3 +68,30 @@ def undo_filter(scene_dir):
             n += 1
     shutil.rmtree(froot)
     return n
+
+
+def main(argv=None):
+    """Blur-filter CLI — the runnable twin of the reference's
+    ``scripts/scannet/filter/filter_blurry.py`` (threshold, --undo)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="move blurry frames aside")
+    p.add_argument("--dir", required=True, help="scene folder with color/")
+    p.add_argument("--threshold", type=float, default=150.0,
+                   help="Laplacian-variance sharpness floor")
+    p.add_argument("--dry_run", action="store_true",
+                   help="report without moving (reference --debug)")
+    p.add_argument("--undo", action="store_true",
+                   help="restore everything under filtered/")
+    a = p.parse_args(argv)
+    if a.undo:
+        n = undo_filter(a.dir)
+        print(f"restored {n} files")
+    else:
+        ids = filter_blurry(a.dir, threshold=a.threshold, dry_run=a.dry_run)
+        verb = "would filter" if a.dry_run else "filtered"
+        print(f"{verb} {len(ids)} frames: {ids}")
+
+
+if __name__ == "__main__":
+    main()

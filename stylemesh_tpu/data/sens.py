@@ -146,3 +146,26 @@ def extract_sens(path, out_dir, frame_skip=20, image_size=(240, 320)):
         n += 1
     r.close()
     return n
+
+
+def main(argv=None):
+    """.sens extraction CLI — the runnable twin of the reference's
+    ``scripts/scannet/prepare_data/reader.py`` / ``prepare_2d_data.py``."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="extract a ScanNet .sens file")
+    p.add_argument("--filename", required=True, help="path to .sens file")
+    p.add_argument("--output_path", required=True, help="scene output folder")
+    p.add_argument("--frame_skip", type=int, default=20,
+                   help="export every Nth frame (prepare_2d_data default)")
+    p.add_argument("--image_size", nargs=2, type=int, default=(240, 320),
+                   help="color resize (h, w); pass 0 0 for native size")
+    a = p.parse_args(argv)
+    size = None if tuple(a.image_size) == (0, 0) else tuple(a.image_size)
+    n = extract_sens(a.filename, a.output_path, frame_skip=a.frame_skip,
+                     image_size=size)
+    print(f"exported {n} frames to {a.output_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -301,3 +301,111 @@ def render_vertex_color_frames(mesh_path, pose_dir, intrinsics,
         Image.fromarray((np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)).save(path)
         paths.append(path)
     return paths
+
+
+def main(argv=None):
+    """Preprocessing CLI — the runnable twin of the reference's per-stage
+    scripts (``scripts/scannet/render_uvs.py``, ``scripts/matterport``
+    renderer, ``render_mipmap_scannet.py``, vertex-color render mode)::
+
+        python -m stylemesh_tpu.preprocess bake --mesh m.ply --scene_dir S
+        python -m stylemesh_tpu.preprocess bake-matterport --house h.house \\
+            --mesh region0.ply --scan_dir SCAN --region 0
+        python -m stylemesh_tpu.preprocess mipmap --mesh m.ply --scene_dir S \\
+            --texture final_texture.jpg --out frames/
+        python -m stylemesh_tpu.preprocess vertex-color --mesh m.ply \\
+            --scene_dir S --colors colors.npy --out frames/
+
+    ``--scene_dir`` is a baked ScanNet-layout scene folder holding ``pose/``
+    and the ``<scene>.txt`` intrinsics file.
+    """
+    import argparse
+
+    from PIL import Image
+
+    from stylemesh_tpu.data.scenes import _scannet_intrinsics
+
+    p = argparse.ArgumentParser(description="stylemesh_tpu preprocessing")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def scene_args(sp):
+        sp.add_argument("--mesh", required=True)
+        sp.add_argument("--scene_dir", required=True,
+                        help="scene folder with pose/ + <scene>.txt")
+
+    b = sub.add_parser("bake", help="bake uv/angle/depth pyramid")
+    scene_args(b)
+    b.add_argument("--base_hw", nargs=2, type=int, default=(960, 1280))
+    b.add_argument("--pyramid_heights", nargs="+", type=int,
+                   default=list(DEFAULT_PYRAMID_HEIGHTS))
+    b.add_argument("--no_skip_existing", action="store_true")
+
+    m = sub.add_parser("bake-matterport", help="bake one Matterport region")
+    m.add_argument("--house", required=True, help=".house file")
+    m.add_argument("--mesh", required=True, help="region mesh with UVs")
+    m.add_argument("--scan_dir", required=True)
+    m.add_argument("--region", type=int, default=0)
+    m.add_argument("--color_src", default=None)
+    m.add_argument("--depth_src", default=None)
+    m.add_argument("--pyramid_heights", nargs="+", type=int,
+                   default=list(DEFAULT_PYRAMID_HEIGHTS))
+
+    r = sub.add_parser("mipmap", help="render poses with a trained texture")
+    scene_args(r)
+    r.add_argument("--texture", required=True,
+                   help="texture image (final_texture.jpg) or texture.npz")
+    r.add_argument("--out", required=True)
+    r.add_argument("--hw", nargs=2, type=int, default=(480, 640))
+    r.add_argument("--no_shading", action="store_true")
+
+    v = sub.add_parser("vertex-color", help="render per-vertex colors")
+    scene_args(v)
+    v.add_argument("--colors", required=True,
+                   help=".npy [num_vertices, 3] colors in [0, 1]")
+    v.add_argument("--out", required=True)
+    v.add_argument("--hw", nargs=2, type=int, default=(480, 640))
+
+    a = p.parse_args(argv)
+
+    if a.cmd == "bake-matterport":
+        from stylemesh_tpu.data.matterport_house import parse_house
+
+        n = bake_matterport_region(
+            parse_house(a.house), a.mesh, a.scan_dir, a.region,
+            color_src=a.color_src, depth_src=a.depth_src,
+            pyramid_heights=tuple(a.pyramid_heights))
+        print(f"baked {n} images for region {a.region}")
+        return
+
+    intr, intr_size, intr_file = _scannet_intrinsics(a.scene_dir)
+    assert intr_file is not None, f"no <scene>.txt intrinsics in {a.scene_dir}"
+    pose_dir = join(a.scene_dir, "pose")
+
+    if a.cmd == "bake":
+        bake_scene(a.mesh, pose_dir, intr, intr_size, a.scene_dir,
+                   base_hw=tuple(a.base_hw),
+                   pyramid_heights=tuple(a.pyramid_heights),
+                   skip_existing=not a.no_skip_existing)
+        print(f"baked scene at {a.scene_dir}")
+    elif a.cmd == "mipmap":
+        if a.texture.endswith(".npz"):
+            from stylemesh_tpu.models.texture import texture_image
+            from stylemesh_tpu.utils.checkpoint import load_texture_npz
+
+            tex = np.clip(np.asarray(texture_image(load_texture_npz(
+                a.texture))), 0.0, 1.0)
+        else:
+            tex = np.asarray(Image.open(a.texture), np.float32)[..., :3] / 255.0
+        paths = render_mipmap_frames(a.mesh, pose_dir, intr, intr_size, tex,
+                                     a.out, hw=tuple(a.hw),
+                                     shading=not a.no_shading)
+        print(f"rendered {len(paths)} frames to {a.out}")
+    elif a.cmd == "vertex-color":
+        colors = np.load(a.colors)
+        paths = render_vertex_color_frames(a.mesh, pose_dir, intr, intr_size,
+                                           colors, a.out, hw=tuple(a.hw))
+        print(f"rendered {len(paths)} frames to {a.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -62,3 +62,50 @@ def compute_texture_mask(uv_grids, masks, tex_hw, min_fraction=0.02):
 def mask_texture(texture_img, tex_mask):
     """Apply the visibility mask: unseen texels -> 0 ([H, W, C] * [H, W])."""
     return np.asarray(texture_img) * np.asarray(tex_mask)[..., None]
+
+
+def main(argv=None):
+    """Texture-masking CLI — runnable twin of the reference's
+    ``scripts/textures/mask_texture.py``: zero atlas texels that fewer than
+    ``--min_fraction`` of the scene's views observe."""
+    import argparse
+
+    from PIL import Image
+
+    from stylemesh_tpu.data.loading import SceneCache
+    from stylemesh_tpu.optimize import RunConfig, discover_scene
+
+    p = argparse.ArgumentParser(description="mask unobserved atlas texels")
+    p.add_argument("--tex", required=True, help="texture image to mask")
+    p.add_argument("--root_path", required=True)
+    p.add_argument("--dataset", default="scannet",
+                   choices=["scannet", "matterport"])
+    p.add_argument("--scene", default="")
+    p.add_argument("--out", default=None,
+                   help="output path (default <tex>_masked.png)")
+    p.add_argument("--min_fraction", type=float, default=0.02)
+    p.add_argument("--resize_size", type=int, default=256)
+    a = p.parse_args(argv)
+
+    run = RunConfig(root_path=a.root_path, dataset=a.dataset, scene=a.scene,
+                    min_images=1, resize_size=a.resize_size)
+    cache = SceneCache(discover_scene(run), resize_size=a.resize_size)
+    b = cache._batch_all
+    tex_img = np.asarray(Image.open(a.tex).convert("RGB"))
+    uv_top = np.asarray(b.uv[-1])  # highest-res uv level
+    # validity straight from the uv grids (background bakes to exactly
+    # (-1, -1)) — the reference's script also consumes only uv maps
+    valid = ~((uv_top[..., 0] == -1.0) & (uv_top[..., 1] == -1.0))
+    tex_mask = compute_texture_mask(
+        [uv_top[v] for v in range(uv_top.shape[0])],
+        [valid[v][..., None].astype(np.float32)
+         for v in range(uv_top.shape[0])],
+        tex_img.shape[:2], min_fraction=a.min_fraction)
+    out = a.out or a.tex.rsplit(".", 1)[0] + "_masked.png"
+    masked = mask_texture(tex_img, tex_mask).astype(np.uint8)
+    Image.fromarray(masked).save(out)
+    print(f"wrote {out} ({int(tex_mask.sum())} visible texels)")
+
+
+if __name__ == "__main__":
+    main()

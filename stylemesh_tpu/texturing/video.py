@@ -40,3 +40,27 @@ def video_from_files(frame_paths, out_path, fps=20, sort=True):
     finally:
         writer.release()
     return out_path
+
+
+def main(argv=None):
+    """Video-assembly CLI — the runnable twin of the reference's
+    ``scripts/textures/video_from_files.py`` (int / pano frame sort,
+    20 fps)."""
+    import argparse
+    import os
+
+    p = argparse.ArgumentParser(description="assemble frames into a video")
+    p.add_argument("--imgs_dir", required=True)
+    p.add_argument("--out", default=None,
+                   help="output file (default <imgs_dir>/video.mp4)")
+    p.add_argument("--fps", type=int, default=20)
+    a = p.parse_args(argv)
+    frames = [os.path.join(a.imgs_dir, f) for f in os.listdir(a.imgs_dir)
+              if f.lower().endswith((".png", ".jpg", ".jpeg"))]
+    out = a.out or os.path.join(a.imgs_dir, "video.mp4")
+    video_from_files(frames, out, fps=a.fps)
+    print(f"wrote {out} ({len(frames)} frames)")
+
+
+if __name__ == "__main__":
+    main()
