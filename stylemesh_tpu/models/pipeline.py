@@ -140,6 +140,15 @@ class PipelineConfig:
     # skipped at trace time — exactly the levels the reference drops per
     # step at runtime (model.py:256-257)
     skip_levels: Tuple[int, ...] = ()
+    # pyramid levels whose gradient reweighting is provably zero for EVERY
+    # pixel of EVERY view (data/grad_masks.py over the whole scene): their
+    # loss VALUE still counts (masks are non-empty — metrics and the
+    # gram-average cache behave identically) but the texture gradient
+    # through them is exactly zero, so the level's prediction is wrapped in
+    # stop_gradient and XLA deletes its entire VGG backward + gather VJP
+    # from the step. Far-depth levels of real scans are commonly in this
+    # state (the splat planner already emitted zero entries for them).
+    stop_grad_levels: Tuple[int, ...] = ()
 
     def resolved_tex_reg_weights(self):
         if self.tex_reg_weights is not None:
@@ -299,6 +308,15 @@ class TexturePipeline:
         # 1. render: sample the atlas at every UV pyramid level (with the
         # Pallas window kernels where the batch carries plans)
         pred_pyramid = self._render_pyramid(texture, batch)
+        # gradient-dead levels (see config.stop_grad_levels): value kept,
+        # backward deleted — their per-pixel gradient weights are an exact
+        # scene-wide zero, so this changes no number
+        if cfg.stop_grad_levels:
+            sgl = set(cfg.stop_grad_levels)
+            pred_pyramid = [
+                p if p is None or i not in sgl else jax.lax.stop_gradient(p)
+                for i, p in enumerate(pred_pyramid)
+            ]
         # 2. gradient weighting (forward-mode equivalent of the hooks):
         # the combined per-level weight (angle x depth interpolation) is a
         # batch constant precomputed by prepare_batch

@@ -193,6 +193,24 @@ def scene_skip_levels(scene_cache, pipe_cfg: PipelineConfig):
                  if not (((rounded == i) | (other == i)) & mask).any())
 
 
+def scene_grad_dead_levels(scene_cache, pipe_cfg: PipelineConfig):
+    """Pyramid levels whose gradient weight is an exact zero at every pixel
+    of every view (conservative scene-wide analysis, data/grad_masks.py) —
+    their loss value still counts but their backward is dead compute; the
+    pipeline wraps them in stop_gradient (PipelineConfig.stop_grad_levels).
+    Far levels of real scans commonly land here (the splat planner already
+    builds zero splat entries for them)."""
+    from stylemesh_tpu.data.grad_masks import grad_weight_masks
+
+    b = scene_cache._batch_all
+    level_shapes = [tuple(u.shape[1:3]) for u in b.uv]
+    masks = grad_weight_masks(b, level_shapes, pipe_cfg.use_angle_weight,
+                              pipe_cfg.use_depth_scaling)
+    if masks is None:
+        return ()
+    return tuple(i for i, m in enumerate(masks) if not m.any())
+
+
 def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
                  scene_cache: Optional[SceneCache] = None,
                  vgg_params=None, style_image=None):
@@ -232,6 +250,12 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         print(f"pyramid levels empty for every view — statically skipped: "
               f"{list(skip)}")
         pipe_cfg = dataclasses.replace(pipe_cfg, skip_levels=skip)
+    dead = tuple(i for i in scene_grad_dead_levels(scene_cache, pipe_cfg)
+                 if i not in skip)
+    if dead:
+        print(f"pyramid levels with provably-zero gradients — backward "
+              f"deleted (value kept): {list(dead)}")
+        pipe_cfg = dataclasses.replace(pipe_cfg, stop_grad_levels=dead)
 
     if pipe_cfg.use_splat_kernel and not getattr(scene_cache, "_view_plans", None):
         layer_sizes = [

@@ -143,6 +143,57 @@ def test_static_level_skip_matches_full():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_stop_grad_levels_matches_full():
+    """A level whose gradient reweighting is an exact zero at every pixel
+    (here: depth_level_weight == 0 kills the rounded term and nothing has
+    other == 0) still contributes its loss VALUE, but its texture gradient
+    is exactly zero — so stop_grad_levels must reproduce the full pipeline's
+    losses and texture trajectory while deleting the level's backward."""
+    batch = synthetic_view_batch(num_views=2, content_hw=(48, 64),
+                                 level_heights=(48, 72, 96), seed=9,
+                                 jnp_arrays=False)
+    V, H, W = batch.mask.shape[:3]
+    rounded = np.zeros((V, H, W, 1), np.int32)
+    rounded[:, H // 2:] = 1
+    other = rounded + 1
+    batch = batch._replace(
+        rounded_depth_level=rounded, other_depth_level=other,
+        depth_level_weight=np.zeros((V, H, W, 1), np.float32))
+
+    # the host analysis must prove level 0 gradient-dead, levels 1/2 alive
+    from stylemesh_tpu.data.grad_masks import grad_weight_masks
+    level_shapes = [tuple(u.shape[1:3]) for u in batch.uv]
+    masks = grad_weight_masks(batch, level_shapes, True, True)
+    assert not masks[0].any()
+    assert masks[1].any() and masks[2].any()
+
+    vgg = init_vgg_params(rng=6, scale=0.08)
+    base = dict(
+        texture_width=128, texture_height=128, hierarchical_layers=2,
+        use_angle_weight=True, use_depth_scaling=True,
+        content_weight=7e1, style_weight=1e-4, tex_reg_weight=5e3,
+        learning_rate=0.5, decay_step_size=100, style_min_size=32,
+        style_pyramid_mode="multi", gram_mode="average")
+    style = jnp.asarray(
+        (RNG.random((1, 96, 128, 3)).astype(np.float32) - 0.45) * 255.0)
+    p_full = TexturePipeline(PipelineConfig(**base), vgg, style)
+    p_sg = TexturePipeline(PipelineConfig(**base, stop_grad_levels=(0,)),
+                           vgg, style)
+    s_full = p_full.init()
+    s_sg = p_sg.init()
+    for _ in range(3):
+        s_full, l_full = p_full.train_step(s_full, batch)
+        s_sg, l_sg = p_sg.train_step(s_sg, batch)
+        for k in l_full:
+            np.testing.assert_allclose(float(l_full[k]), float(l_sg[k]),
+                                       rtol=1e-6, err_msg=k)
+        # the dead level's loss value must actually be nonzero for the test
+        # to mean anything (value kept, not skipped)
+        assert float(l_full["style"]) > 0
+    for a, b in zip(s_full.texture.layers, s_sg.texture.layers):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_train_step_decreases_loss():
     batch = synthetic_view_batch(num_views=2, content_hw=(48, 64),
                                  level_heights=(48, 72, 96), seed=5)
