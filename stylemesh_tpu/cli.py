@@ -104,6 +104,13 @@ def build_parser():
                         "gathers, band-local splats (parallel/atlas.py). "
                         "For atlases too big to replicate (8k/16k, "
                         "hierarchical 4096²)")
+    p.add_argument("--no_dynamic_level_skip", default=False,
+                   action="store_true",
+                   help="disable per-batch level specialization (skipping "
+                        "pyramid levels that are empty or gradient-dead for "
+                        "the whole batch, one specialized compile per "
+                        "observed signature — the jit analogue of the "
+                        "reference dropping empty levels per step)")
     p.add_argument("--bfloat16", default=False, action="store_true",
                    help="bfloat16 VGG compute (MXU full rate)")
     p.add_argument("--kernel_compute", default="bf16", choices=["f32", "bf16"],
@@ -200,6 +207,7 @@ def configs_from_args(args):
         views_per_batch=args.batch_size,
         data_parallel=args.data_parallel,
         shard_atlas=args.shard_atlas,
+        dynamic_level_skip=not args.no_dynamic_level_skip,
         extra_style_paths=tuple(style_paths[1:]),
         save_texture=args.save_texture,
         log_images_nth=args.log_images_nth,

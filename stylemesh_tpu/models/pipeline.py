@@ -211,14 +211,19 @@ class TexturePipeline:
         state, metrics = pipe.train_step(state, batch)   # jit-compiled
     """
 
-    def __init__(self, config: PipelineConfig, vgg_params, style_image):
+    def __init__(self, config: PipelineConfig, vgg_params, style_image,
+                 style_targets: Optional[StyleTargets] = None):
         self.config = config
         self.vgg_params = vgg_params
         self.loss = config.loss_config()
         # Style Gram targets: computed once, folded into the jitted step as
         # constants (reference recomputes per set_style_image, :273-286).
-        self.style_targets: StyleTargets = self.loss.set_style_image(
-            vgg_params, style_image)
+        # They don't depend on the per-scene level config, so specialized
+        # sibling pipelines (optimize.run_training's dynamic level skip)
+        # pass the base pipeline's targets through instead of re-encoding.
+        self.style_targets: StyleTargets = (
+            style_targets if style_targets is not None
+            else self.loss.set_style_image(vgg_params, style_image))
 
         schedule = optax.exponential_decay(
             init_value=config.learning_rate,

@@ -75,6 +75,11 @@ class RunConfig:
     views_per_batch: int = 1
     data_parallel: bool = False
     shard_atlas: bool = False  # row-band the atlas + Adam over the chips
+    # per-batch level specialization: compile a specialized train step for
+    # each observed batch-level signature (levels empty for the whole batch
+    # skipped, gradient-dead levels stop-gradded) — the jit analogue of the
+    # reference dropping empty levels per step (model.py:256-257)
+    dynamic_level_skip: bool = True
     # extra styles beyond style_image_path -> one texture per style, style
     # axis sharded over the chips (parallel/multistyle.py)
     extra_style_paths: tuple = ()
@@ -171,26 +176,59 @@ def discover_scene(run: RunConfig):
                         seed=run.seed)
 
 
+def view_level_tables(scene_cache, pipe_cfg: PipelineConfig):
+    """Per-view pyramid-level liveness: two ``[num_views, num_levels]`` bool
+    tables ``(loss_live, grad_live)``.
+
+    ``loss_live[v, i]``: view v has at least one live loss pixel at level i
+    (with depth scaling: (rounded|other depth level == i) & uv-mask, the raw
+    mask behind pipeline.depth_pyramid_masks; without it only the last level
+    carries loss by construction, model.py:253-254).
+
+    ``grad_live[v, i]``: the level's gradient reweighting may be nonzero for
+    some pixel of view v (conservative analysis, data/grad_masks.py); None
+    when no reweighting is active (everything may be live).
+
+    Column-ANY over all views gives the scene-wide static decisions
+    (:func:`scene_skip_levels` / :func:`scene_grad_dead_levels`); row-ANY
+    over a batch's views gives the per-batch specialization signature
+    (run_training's dynamic level skip)."""
+    b = scene_cache._batch_all
+    n = len(b.uv)
+    mask = np.asarray(b.mask) > 0
+    v = mask.shape[0]
+    if pipe_cfg.use_depth_scaling:
+        rounded = np.asarray(b.rounded_depth_level)
+        other = np.asarray(b.other_depth_level)
+        loss_live = np.stack(
+            [(((rounded == i) | (other == i)) & mask).reshape(v, -1).any(axis=1)
+             for i in range(n)], axis=1)
+    else:
+        loss_live = np.zeros((v, n), bool)
+        if n:
+            loss_live[:, -1] = True
+
+    from stylemesh_tpu.data.grad_masks import grad_weight_masks
+
+    level_shapes = [tuple(u.shape[1:3]) for u in b.uv]
+    masks = grad_weight_masks(b, level_shapes, pipe_cfg.use_angle_weight,
+                              pipe_cfg.use_depth_scaling)
+    grad_live = None if masks is None else np.stack(
+        [m.reshape(v, -1).any(axis=1) for m in masks], axis=1)
+    return loss_live, grad_live
+
+
 def scene_skip_levels(scene_cache, pipe_cfg: PipelineConfig):
     """Pyramid levels with no live loss pixel in ANY view of the scene.
 
-    With depth scaling, a level's loss mask is (rounded|other depth level ==
-    i) & uv-mask, eroded then resized (pipeline.depth_pyramid_masks) — if the
-    raw mask is empty scene-wide, every derived mask and gradient weight is
-    exactly zero, so the level can be skipped at trace time (shallow real
-    scans never populate the near levels). Without depth scaling only the
-    last level carries loss by construction (model.py:253-254). This is the
+    If the raw loss mask is empty scene-wide, every derived mask and gradient
+    weight is exactly zero, so the level can be skipped at trace time
+    (shallow real scans never populate the near levels). This is the
     static-compile analogue of the reference dropping empty levels per step
     (model.py:256-257)."""
-    b = scene_cache._batch_all
-    n = len(b.uv)
-    if not pipe_cfg.use_depth_scaling:
-        return tuple(range(max(0, n - 1)))
-    mask = np.asarray(b.mask) > 0
-    rounded = np.asarray(b.rounded_depth_level)
-    other = np.asarray(b.other_depth_level)
-    return tuple(i for i in range(n)
-                 if not (((rounded == i) | (other == i)) & mask).any())
+    loss_live, _ = view_level_tables(scene_cache, pipe_cfg)
+    return tuple(i for i in range(loss_live.shape[1])
+                 if not loss_live[:, i].any())
 
 
 def scene_grad_dead_levels(scene_cache, pipe_cfg: PipelineConfig):
@@ -200,15 +238,11 @@ def scene_grad_dead_levels(scene_cache, pipe_cfg: PipelineConfig):
     pipeline wraps them in stop_gradient (PipelineConfig.stop_grad_levels).
     Far levels of real scans commonly land here (the splat planner already
     builds zero splat entries for them)."""
-    from stylemesh_tpu.data.grad_masks import grad_weight_masks
-
-    b = scene_cache._batch_all
-    level_shapes = [tuple(u.shape[1:3]) for u in b.uv]
-    masks = grad_weight_masks(b, level_shapes, pipe_cfg.use_angle_weight,
-                              pipe_cfg.use_depth_scaling)
-    if masks is None:
+    _, grad_live = view_level_tables(scene_cache, pipe_cfg)
+    if grad_live is None:
         return ()
-    return tuple(i for i, m in enumerate(masks) if not m.any())
+    return tuple(i for i in range(grad_live.shape[1])
+                 if not grad_live[:, i].any())
 
 
 def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
@@ -245,13 +279,16 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
                                      verbose=True)
     # statically-empty pyramid levels: decided BEFORE planning so skipped
     # levels are never planned, cached, sliced, or device-transferred
-    skip = scene_skip_levels(scene_cache, pipe_cfg)
+    loss_live, grad_live = view_level_tables(scene_cache, pipe_cfg)
+    n_levels = loss_live.shape[1]
+    skip = tuple(i for i in range(n_levels) if not loss_live[:, i].any())
     if skip:
         print(f"pyramid levels empty for every view — statically skipped: "
               f"{list(skip)}")
         pipe_cfg = dataclasses.replace(pipe_cfg, skip_levels=skip)
-    dead = tuple(i for i in scene_grad_dead_levels(scene_cache, pipe_cfg)
-                 if i not in skip)
+    dead = tuple(i for i in range(n_levels)
+                 if i not in skip
+                 and grad_live is not None and not grad_live[:, i].any())
     if dead:
         print(f"pyramid levels with provably-zero gradients — backward "
               f"deleted (value kept): {list(dead)}")
@@ -328,6 +365,54 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         }, f, indent=2)
 
     timer = StepTimer()
+
+    # Per-batch level specialization ("dynamic level skip"): the reference
+    # drops pyramid levels with an empty loss mask from every step at
+    # runtime (model.py:256-257). Under jit the level set is a trace-time
+    # constant, so the equivalent is one specialized step per observed
+    # batch-level signature: levels empty for EVERY view of the batch are
+    # skipped at trace time, levels live but gradient-dead for the whole
+    # batch keep their loss value and lose their backward (stop_grad_levels).
+    # Both transformations reproduce the full step's losses and texture
+    # trajectory exactly (tests/test_pipeline.py); each signature costs one
+    # extra compile (disk-cached), and the repeat sampler makes signatures
+    # few and long-lived.
+    specialize = (run.dynamic_level_skip and not multi_style
+                  and not shard_atlas and type(pipe).__name__
+                  in ("TexturePipeline", "ShardedTexturePipeline"))
+    base_sig = (pipe_cfg.skip_levels, pipe_cfg.stop_grad_levels)
+    spec_pipes = {}
+    MAX_SPECIALIZATIONS = 8
+
+    def pipe_for_chunk(chunk):
+        if not specialize:
+            return pipe
+        # chunk entries are dataset indices; the liveness tables are in
+        # cache order (scene_cache.get_batch does the same mapping)
+        views = [scene_cache._pos_of[i] for i in chunk]
+        live = loss_live[views].any(axis=0)
+        glive = (grad_live[views].any(axis=0) if grad_live is not None
+                 else np.ones(n_levels, bool))
+        sig = (tuple(i for i in range(n_levels) if not live[i]),
+               tuple(i for i in range(n_levels) if live[i] and not glive[i]))
+        if sig == base_sig:
+            return pipe
+        spec = spec_pipes.get(sig)
+        if spec is None:
+            if len(spec_pipes) >= MAX_SPECIALIZATIONS:
+                return pipe
+            print(f"batch level signature skip={list(sig[0])} "
+                  f"stop_grad={list(sig[1])}: specializing step")
+            cfg2 = dataclasses.replace(pipe_cfg, skip_levels=sig[0],
+                                       stop_grad_levels=sig[1])
+            kw = dict(style_targets=pipe.style_targets)
+            if hasattr(pipe, "mesh"):
+                kw["mesh"] = pipe.mesh
+            spec = type(pipe)(cfg2, vgg_params,
+                              jax.numpy.asarray(style_image), **kw)
+            spec_pipes[sig] = spec
+        return spec
+
     # chunk -> device-resident batch + precomputed aux: with the repeat
     # sampler the same views recur for index_repeat consecutive steps, so
     # host assembly + H2D + the batch-constant step work (content VGG pass,
@@ -340,7 +425,7 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         key = tuple(chunk)
         if key != last_chunk:
             last_batch = jax.device_put(scene_cache.get_batch(chunk))
-            last_aux = pipe.prepare_batch(last_batch)
+            last_aux = pipe_for_chunk(chunk).prepare_batch(last_batch)
             last_chunk = key
         return last_batch, last_aux
 
@@ -369,12 +454,14 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
                 # and the train-step compile (the dominant cold-cache cost)
                 with clock.phase("compile_first_step"):
                     batch, aux = get_device_batch(chunk)
-                    state, losses = pipe.train_step(state, batch, aux)
+                    state, losses = pipe_for_chunk(chunk).train_step(
+                        state, batch, aux)
                     jax.block_until_ready(losses)
                 first_step_done = True
             else:
                 batch, aux = get_device_batch(chunk)
-                state, losses = pipe.train_step(state, batch, aux)
+                state, losses = pipe_for_chunk(chunk).train_step(
+                    state, batch, aux)
             host_step += 1
             step_no = host_step
             timer.tick()

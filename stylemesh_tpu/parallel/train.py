@@ -43,13 +43,14 @@ class ShardedTexturePipeline(TexturePipeline):
     """
 
     def __init__(self, config: PipelineConfig, vgg_params, style_image,
-                 mesh=None, axis_name="views"):
+                 mesh=None, axis_name="views", style_targets=None):
         assert config.gram_mode == "current", (
             "view-data-parallel training supports gram_mode='current' only "
             "(the 'average' ring cache is inherently view-sequential)")
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis_name = axis_name
-        super().__init__(config, vgg_params, style_image)
+        super().__init__(config, vgg_params, style_image,
+                         style_targets=style_targets)
         self._sharded_step = None  # built lazily (needs batch structure)
         self._sharded_eval = None
 

@@ -98,6 +98,63 @@ def test_multistyle_run_training(tmp_path):
         assert os.path.exists(os.path.join(log_dir, f"texture_style{s}.npz"))
 
 
+def test_dynamic_level_skip_run_training(tmp_path, capsys):
+    """run_training's per-batch level specialization: a view with an empty
+    pyramid level gets a skip-specialized step; the run must produce exactly
+    the losses and texture of the unspecialized run."""
+    import json
+
+    _make_scannet_scene(tmp_path)
+    scenes = discover_scannet_scenes(str(tmp_path), pyramid_levels=2,
+                                     min_pyramid_height=16)
+    cache = SceneCache(select_scene(scenes, min_images=1), resize_size=16)
+    # the fixture's depths never reach level 0 — plant level-0 pixels in
+    # view 1 only, so the level is live scene-wide but empty per-batch for
+    # view 0's chunks (views_per_batch=1). Mutate BEFORE plan attach so the
+    # splat plans see the same depth levels as the pipeline.
+    b = cache._batch_all
+    rounded = np.array(b.rounded_depth_level)
+    other = np.array(b.other_depth_level)
+    assert not (rounded == 0).any() and not (other == 0).any()
+    m = np.asarray(b.mask)[1, ..., 0] > 0
+    ys, xs = np.nonzero(m)
+    assert len(ys) >= 50
+    rounded[1, ys[:50], xs[:50], 0] = 0
+    other[1, ys[:50], xs[:50], 0] = 1
+    cache._batch_all = b._replace(rounded_depth_level=rounded,
+                                  other_depth_level=other)
+    cache.attach_splat_plans([(128, 128), (64, 64)],
+                             use_angle_weight=True, use_depth_scaling=True)
+
+    vgg = init_vgg_params(rng=3, scale=0.05)
+    results = {}
+    for dyn in (True, False):
+        run = dataclasses.replace(_run_cfg(tmp_path), views_per_batch=1,
+                                  dynamic_level_skip=dyn)
+        state, log_dir, _ = run_training(run, PIPE, scene_cache=cache,
+                                         vgg_params=vgg,
+                                         style_image=_style_arr(0))
+        with open(os.path.join(log_dir, "metrics.jsonl")) as f:
+            losses = [json.loads(l) for l in f
+                      if '"Batch/Loss/train/' in l]
+        results[dyn] = (state, losses)
+    out = capsys.readouterr().out
+    assert "specializing step" in out
+
+    (s_dyn, l_dyn), (s_off, l_off) = results[True], results[False]
+    assert len(l_dyn) == len(l_off) > 0
+    for a, b2 in zip(l_dyn, l_off):
+        assert a["tag"] == b2["tag"] and a["step"] == b2["step"]
+        np.testing.assert_allclose(a["value"], b2["value"], rtol=1e-5,
+                                   err_msg=a["tag"])
+    # the specialized step is a different XLA program computing the same
+    # math; f32 reassociation differences pass through Adam's normalization,
+    # so the end-to-end texture gate is loose-tolerance (losses above are
+    # the sharp per-step gate)
+    for x, y in zip(s_dyn.texture.layers, s_off.texture.layers):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+
+
 def test_exclusive_mode_flags(tmp_path):
     cache = _scene_cache(tmp_path)
     run = _run_cfg(tmp_path, shard_atlas=True, data_parallel=True)

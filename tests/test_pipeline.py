@@ -194,6 +194,80 @@ def test_stop_grad_levels_matches_full():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_specialized_pipelines_share_one_state():
+    """Dynamic level skip (optimize.run_training) alternates differently-
+    specialized sibling pipelines over ONE TrainState: a batch with an empty
+    level runs a skip-specialized step, the next (all-live) batch runs the
+    base step. The interleaved trajectory — shared texture, Adam moments,
+    gram-average cache, donated buffers — must match the base pipeline
+    running every batch un-specialized."""
+    batch_live = synthetic_view_batch(num_views=2, content_hw=(48, 64),
+                                      level_heights=(48, 72, 96), seed=12)
+    batch_empty0 = synthetic_view_batch(num_views=2, content_hw=(48, 64),
+                                        level_heights=(48, 72, 96), seed=13)
+    batch_empty0 = batch_empty0._replace(
+        rounded_depth_level=np.maximum(batch_empty0.rounded_depth_level, 1),
+        other_depth_level=np.maximum(batch_empty0.other_depth_level, 1))
+    vgg = init_vgg_params(rng=5, scale=0.08)
+    base = dict(
+        texture_width=128, texture_height=128, hierarchical_layers=2,
+        use_angle_weight=True, use_depth_scaling=True,
+        content_weight=7e1, style_weight=1e-4, tex_reg_weight=5e3,
+        learning_rate=0.5, decay_step_size=100, style_min_size=32,
+        style_pyramid_mode="multi", gram_mode="average")
+    style = jnp.asarray(
+        (RNG.random((1, 96, 128, 3)).astype(np.float32) - 0.45) * 255.0)
+    p_base = TexturePipeline(PipelineConfig(**base), vgg, style)
+    # the specialized sibling shares the base pipeline's style targets,
+    # exactly as run_training builds it
+    p_skip = TexturePipeline(PipelineConfig(**base, skip_levels=(0,)), vgg,
+                             style, style_targets=p_base.style_targets)
+    schedule = [(batch_empty0, p_skip), (batch_live, p_base),
+                (batch_empty0, p_skip), (batch_live, p_base)]
+    s_ref = p_base.init()
+    s_mix = p_base.init()
+    for b, spec_pipe in schedule:
+        s_ref, l_ref = p_base.train_step(s_ref, b)
+        s_mix, l_mix = spec_pipe.train_step(s_mix, b)
+        for k in l_ref:
+            np.testing.assert_allclose(float(l_ref[k]), float(l_mix[k]),
+                                       rtol=1e-6, err_msg=k)
+    for a, b in zip(s_ref.texture.layers, s_mix.texture.layers):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_view_level_tables():
+    """The per-view liveness tables drive both the scene-wide static skip
+    and the per-batch specialization signatures."""
+    import types
+
+    from stylemesh_tpu.optimize import view_level_tables
+
+    batch = synthetic_view_batch(num_views=3, content_hw=(48, 64),
+                                 level_heights=(48, 72, 96), seed=14,
+                                 jnp_arrays=False)
+    rounded = np.array(batch.rounded_depth_level)
+    other = np.array(batch.other_depth_level)
+    # view 0: only level 1 (and 2 via other); view 1/2: untouched
+    rounded[0] = 1
+    other[0] = 2
+    batch = batch._replace(rounded_depth_level=rounded, other_depth_level=other)
+    cache = types.SimpleNamespace(_batch_all=batch)
+    cfg = PipelineConfig(texture_width=64, texture_height=64,
+                         use_angle_weight=True, use_depth_scaling=True)
+    loss_live, grad_live = view_level_tables(cache, cfg)
+    assert loss_live.shape == (3, 3) and grad_live.shape == (3, 3)
+    assert not loss_live[0, 0] and loss_live[0, 1] and loss_live[0, 2]
+    # grad-liveness is a subset of loss-liveness (dead loss => dead grad)
+    assert not (grad_live & ~loss_live).any()
+    # without any reweighting there is no grad table
+    cfg_off = PipelineConfig(texture_width=64, texture_height=64,
+                             use_angle_weight=False, use_depth_scaling=False)
+    live2, grad2 = view_level_tables(cache, cfg_off)
+    assert grad2 is None
+    assert live2[:, :-1].sum() == 0 and live2[:, -1].all()
+
+
 def test_train_step_decreases_loss():
     batch = synthetic_view_batch(num_views=2, content_hw=(48, 64),
                                  level_heights=(48, 72, 96), seed=5)
