@@ -106,7 +106,17 @@ def folder_scene(rgb_dir, depth_dir, pose_dir, intrinsics_path,
     k, size = _load_intrinsics(intrinsics_path)
     k = rescale_intrinsics(k, size or (w0, h0), (hw[1], hw[0]))
 
-    rgb = np.zeros((n,) + hw + (3,), np.float32)  # only the shape is used
+    # real frames, Gatys-preprocessed like SceneCache stores them — the
+    # diagnostic image dump (reprojection.py save_images) writes them back
+    # out as the scene's reference photos
+    from stylemesh_tpu.data.loading import gatys_pre_np
+
+    def _load_rgb(p):
+        img = Image.open(p).convert("RGB").resize((hw[1], hw[0]),
+                                                  Image.Resampling.BICUBIC)
+        return gatys_pre_np(np.asarray(img, np.float32) / 255.0)
+
+    rgb = np.stack([_load_rgb(p) for p in rgb_files])
     depth = np.stack([_load_depth(p, hw, depth_divisor) for p in depth_files])
     poses = np.stack([load_extrinsics(p) for p in pose_files])
     intr = np.broadcast_to(np.asarray(k, np.float32), (n, 4, 4)).copy()

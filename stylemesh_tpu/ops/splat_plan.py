@@ -208,6 +208,27 @@ def _coarse_grid(region):
     return max(8, (region // 2 // 8) * 8)
 
 
+def clamp_window_hw(need_h, need_w, tex_h, tex_w, max_region_h=None):
+    """Legal EFFECTIVE window sizes for a (tex_h, tex_w) layer — the single
+    source of the planner's window-size constraints (choose_region and the
+    calibration sweeps in tools/ must price the same candidate set).
+
+    v4 kernels roll the DMA'd window to the true origin, so no (8, 128)
+    alignment slack is baked in; both axes only round to the 8-sublane grid
+    of the one-hot arrays, and the window shrinks to the VMEM budget."""
+    rh = min(_roundup(max(need_h, 8), 8), tex_h, max_region_h or tex_h)
+    rw = min(_roundup(max(need_w, 16), 8), tex_w)
+    # VMEM cap: shrink the larger axis until the window fits the budget
+    while rh * rw > _MAX_REGION_TEXELS:
+        if rw >= 16 and rw >= rh:
+            rw -= 8
+        elif rh > 8:
+            rh -= 8
+        else:
+            break
+    return rh, rw
+
+
 def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W,
                   max_region_h=None):
     """Size the texel window for this (level, layer) from the footprint
@@ -239,20 +260,7 @@ def choose_region(uv_views, tex_h, tex_w, tile_h=TILE_H, tile_w=TILE_W,
     fw = np.concatenate(fw_all).astype(np.int64)
 
     def clamp_hw(need_h, need_w):
-        # v4: EFFECTIVE window sizes — the kernels roll the DMA'd window to
-        # the true origin, so no (8, 128) alignment slack is baked in here;
-        # both axes only round to the 8-sublane grid of the one-hot arrays.
-        rh = min(_roundup(max(need_h, 8), 8), tex_h, max_region_h or tex_h)
-        rw = min(_roundup(max(need_w, 16), 8), tex_w)
-        # VMEM cap: shrink the larger axis until the window fits the budget
-        while rh * rw > _MAX_REGION_TEXELS:
-            if rw >= 16 and rw >= rh:
-                rw -= 8
-            elif rh > 8:
-                rh -= 8
-            else:
-                break
-        return rh, rw
+        return clamp_window_hw(need_h, need_w, tex_h, tex_w, max_region_h)
 
     # Per-entry kernel cost model, calibrated against a measured region
     # sweep on v5e (tools/gather_sweep.py; ~5.3 ns per unit): a fixed

@@ -218,27 +218,29 @@ def view_level_tables(scene_cache, pipe_cfg: PipelineConfig):
     return loss_live, grad_live
 
 
-def scene_skip_levels(scene_cache, pipe_cfg: PipelineConfig):
+def scene_skip_levels(scene_cache, pipe_cfg: PipelineConfig, tables=None):
     """Pyramid levels with no live loss pixel in ANY view of the scene.
 
     If the raw loss mask is empty scene-wide, every derived mask and gradient
     weight is exactly zero, so the level can be skipped at trace time
     (shallow real scans never populate the near levels). This is the
     static-compile analogue of the reference dropping empty levels per step
-    (model.py:256-257)."""
-    loss_live, _ = view_level_tables(scene_cache, pipe_cfg)
+    (model.py:256-257). ``tables``: a precomputed
+    :func:`view_level_tables` result, to share the analysis."""
+    loss_live, _ = tables or view_level_tables(scene_cache, pipe_cfg)
     return tuple(i for i in range(loss_live.shape[1])
                  if not loss_live[:, i].any())
 
 
-def scene_grad_dead_levels(scene_cache, pipe_cfg: PipelineConfig):
+def scene_grad_dead_levels(scene_cache, pipe_cfg: PipelineConfig,
+                           tables=None):
     """Pyramid levels whose gradient weight is an exact zero at every pixel
     of every view (conservative scene-wide analysis, data/grad_masks.py) —
     their loss value still counts but their backward is dead compute; the
     pipeline wraps them in stop_gradient (PipelineConfig.stop_grad_levels).
     Far levels of real scans commonly land here (the splat planner already
     builds zero splat entries for them)."""
-    _, grad_live = view_level_tables(scene_cache, pipe_cfg)
+    _, grad_live = tables or view_level_tables(scene_cache, pipe_cfg)
     if grad_live is None:
         return ()
     return tuple(i for i in range(grad_live.shape[1])
@@ -279,16 +281,17 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
                                      verbose=True)
     # statically-empty pyramid levels: decided BEFORE planning so skipped
     # levels are never planned, cached, sliced, or device-transferred
-    loss_live, grad_live = view_level_tables(scene_cache, pipe_cfg)
+    tables = loss_live, grad_live = view_level_tables(scene_cache, pipe_cfg)
     n_levels = loss_live.shape[1]
-    skip = tuple(i for i in range(n_levels) if not loss_live[:, i].any())
+    skip = tuple(sorted(set(scene_skip_levels(scene_cache, pipe_cfg, tables))
+                        | set(pipe_cfg.skip_levels)))
     if skip:
         print(f"pyramid levels empty for every view — statically skipped: "
               f"{list(skip)}")
         pipe_cfg = dataclasses.replace(pipe_cfg, skip_levels=skip)
-    dead = tuple(i for i in range(n_levels)
-                 if i not in skip
-                 and grad_live is not None and not grad_live[:, i].any())
+    dead = tuple(sorted(
+        (set(scene_grad_dead_levels(scene_cache, pipe_cfg, tables))
+         | set(pipe_cfg.stop_grad_levels)) - set(skip)))
     if dead:
         print(f"pyramid levels with provably-zero gradients — backward "
               f"deleted (value kept): {list(dead)}")
@@ -393,8 +396,14 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
         live = loss_live[views].any(axis=0)
         glive = (grad_live[views].any(axis=0) if grad_live is not None
                  else np.ones(n_levels, bool))
-        sig = (tuple(i for i in range(n_levels) if not live[i]),
-               tuple(i for i in range(n_levels) if live[i] and not glive[i]))
+        # union with the configured level sets: liveness can only ADD skips
+        # on top of caller/scene-level decisions, never revive a level the
+        # config explicitly disabled
+        sig_skip = tuple(i for i in range(n_levels)
+                         if not live[i] or i in pipe_cfg.skip_levels)
+        sig_sg = tuple(i for i in range(n_levels) if i not in sig_skip
+                       and (not glive[i] or i in pipe_cfg.stop_grad_levels))
+        sig = (sig_skip, sig_sg)
         if sig == base_sig:
             return pipe
         spec = spec_pipes.get(sig)

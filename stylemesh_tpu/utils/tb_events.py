@@ -42,12 +42,19 @@ def _crc_table():
     return _CRC_TABLE
 
 
-def _crc32c(data: bytes) -> int:
-    tab = _crc_table()
-    c = 0xFFFFFFFF
-    for b in data:
-        c = tab[(c ^ b) & 0xFF] ^ (c >> 8)
-    return c ^ 0xFFFFFFFF
+try:  # C implementation when present — the pure-Python byte loop below is
+    # ~5 MB/s, which would stall the train loop on multi-MB image summaries
+    import google_crc32c as _gcrc
+
+    def _crc32c(data: bytes) -> int:
+        return _gcrc.value(data)
+except ImportError:
+    def _crc32c(data: bytes) -> int:
+        tab = _crc_table()
+        c = 0xFFFFFFFF
+        for b in data:
+            c = tab[(c ^ b) & 0xFF] ^ (c >> 8)
+        return c ^ 0xFFFFFFFF
 
 
 def _masked_crc(data: bytes) -> int:

@@ -9,7 +9,9 @@ platform pinned via env, so env vars set here are too late — the platform
 must be forced through jax.config (legal until a backend initializes).
 """
 
+import atexit
 import os
+import shutil
 import tempfile
 
 os.environ.setdefault("JAX_ENABLE_X64", "0")
@@ -18,9 +20,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # scenes use seeded RNGs (identical uv bytes run-over-run), so a shared
 # cache could mask planner changes with stale plans — and tests must not
 # pollute ~/.cache. One fresh dir per test session still exercises the
-# cache code path.
-os.environ["STYLEMESH_PLAN_CACHE_DIR"] = tempfile.mkdtemp(
-    prefix="stylemesh_plan_cache_test_")
+# cache code path; removed at interpreter exit so sessions don't litter
+# /tmp with plan blobs.
+_plan_cache_dir = tempfile.mkdtemp(prefix="stylemesh_plan_cache_test_")
+os.environ["STYLEMESH_PLAN_CACHE_DIR"] = _plan_cache_dir
+atexit.register(shutil.rmtree, _plan_cache_dir, True)
 
 # Persistent compilation cache: the loss/pipeline graphs are large and
 # compile slowly; reruns hit the cache.

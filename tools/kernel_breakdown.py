@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from stylemesh_tpu.data.synthetic import synthetic_view_batch, with_splat_plans
-from stylemesh_tpu.models.texture import Texture
 from stylemesh_tpu.ops.grid_sample import grid_sample_planned_cf
 
 V = int(sys.argv[1]) if len(sys.argv) > 1 else 4
@@ -64,7 +63,6 @@ def main():
                                  use_depth_scaling=True)
         label = "synthetic"
     batch = jax.device_put(batch)
-    tex = Texture.create(4096, 4096, 3, num_layers=4)
     tex_cf = [jax.device_put(np.zeros((3,) + s, np.float32))
               for s in LAYER_SIZES]
 

@@ -31,6 +31,11 @@ TMO=3600 ANATOMY_DEMO=1 run gap_probe python tools/demo_gap_probe.py 4
 TMO=5400 run bench python bench.py
 
 # 4. warm-cache full-preset end-to-end demo-room run -> wallclock.json table.
+#    /tmp gets wiped between sessions; rebake the seam-heavy demo scene when
+#    absent (~3 min, CPU-side).
+if [ ! -d /tmp/demo_room/train ]; then
+  TMO=1800 run make_demo python tools/make_demo_scene.py /tmp/demo_room 24
+fi
 TMO=5400 run e2e_warm python -m stylemesh_tpu.cli --preset scannet_full \
   --root_path /tmp/demo_room --scene scene0900_00 \
   --style_image_path /root/reference/styles/120styles/14-2.jpg \

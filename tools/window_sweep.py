@@ -56,15 +56,10 @@ def candidates(uv, tex):
     fh = np.concatenate(fh_all)
     fw = np.concatenate(fw_all)
 
+    # the planner's own size constraints — the sweep must price exactly the
+    # candidate set choose_region can emit
     def clamp(h, w):
-        rh = min(max(8 * -(-int(h) // 8), 8), tex)
-        rw = min(max(8 * -(-max(int(w), 16) // 8), 16), tex)
-        while rh * rw > 256 * 1024:
-            if rw >= 16 and rw >= rh:
-                rw -= 8
-            else:
-                rh -= 8
-        return rh, rw
+        return sp.clamp_window_hw(int(h), int(w), tex, tex)
 
     cands = []
     for q, f in [(1.0, 1), (0.85, 1), (0.5, 2), (0.5, 1)]:
