@@ -47,7 +47,38 @@ def _is_oom(e):
             or "tpu_compile_helper" in s)
 
 
+def _require_device(timeout_s=300):
+    """Fail fast (clean JSON, nonzero exit) when the TPU tunnel is down.
+
+    A down axon tunnel makes device init HANG indefinitely rather than
+    error, which would stall the whole bench run; a slow-but-alive backend
+    always initializes well inside the timeout (compile slowness comes
+    later and is unaffected)."""
+    import threading
+
+    import jax
+
+    done = threading.Event()
+    out = []
+
+    def probe():
+        out.append(jax.devices())
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "views_per_sec_per_chip", "value": 0.0,
+            "unit": "views/s", "vs_baseline": 0.0,
+            "error": f"device init did not complete in {timeout_s}s "
+                     f"(TPU tunnel down?)"}))
+        os._exit(3)
+    _log(f"devices: {out[0]}")
+
+
 def main():
+    _require_device()
     v = BATCH_VIEWS
     while True:
         try:

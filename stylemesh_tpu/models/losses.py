@@ -120,6 +120,11 @@ class ContentAndStyleLoss:
     def set_style_image(self, vgg_params, style_image):
         """Precompute per-level style Gram targets (reference :273-286).
 
+        The encode+gram runs under one jit per pyramid level: eagerly it is
+        ~126 op-by-op dispatches (each a separate backend compile — on the
+        remote-compile TPU tunnel that alone dominated pipeline build time);
+        jitted it is num_style_levels disk-cached compiles.
+
         Args:
             style_image: ``[1, H, W, 3]`` Gatys-preprocessed.
         Returns:
@@ -128,10 +133,15 @@ class ContentAndStyleLoss:
         levels = list(range(self.num_style_levels))
         pyramid = image_pyramid(style_image, levels, reverse=True,
                                 minimum_size=self.style_min_size)
-        encs = [self._encode(vgg_params, p, self.style_layers) for p in pyramid]
-        grams = {}
-        for k in self.style_layers:
-            grams[k] = jnp.stack([gram_matrix(e[k])[0] for e in encs], axis=0)
+
+        @jax.jit
+        def encode_and_gram(params, p):
+            encs = self._encode(params, p, self.style_layers)
+            return {k: gram_matrix(encs[k])[0] for k in self.style_layers}
+
+        per_level = [encode_and_gram(vgg_params, p) for p in pyramid]
+        grams = {k: jnp.stack([g[k] for g in per_level], axis=0)
+                 for k in self.style_layers}
         return StyleTargets(grams=grams)
 
     # ------------------------------------------------------------- forward
