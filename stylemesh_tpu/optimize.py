@@ -522,8 +522,18 @@ def run_training(run: RunConfig, pipe_cfg: PipelineConfig,
                             "texture_export"))
     wall["train_steps"] = {"total_s": round(t_total - overhead, 3),
                            "steps": host_step}
+    if specialize and spec_pipes:
+        # each signature beyond the base step cost one extra trace+compile
+        # inside the step timeline — make that auditable
+        wall["level_signatures"] = {
+            "specialized": len(spec_pipes),
+            "signatures": [
+                {"skip": list(s[0]), "stop_grad": list(s[1])}
+                for s in spec_pipes
+            ]}
     _write_wallclock(log_dir, wall)
-    print("wall-clock:", {k: v["total_s"] for k, v in wall.items()})
+    print("wall-clock:", {k: v["total_s"] for k, v in wall.items()
+                          if "total_s" in v})
     return state, log_dir, scene_cache
 
 
