@@ -165,3 +165,11 @@ def test_standalone_eval_cli(tmp_path):
         assert k in acc and np.isfinite(acc[k]), k
     assert results["lpips_calibrated"] is False
     assert any(f.endswith("_output.json") for f in os.listdir(tmp_path / "out"))
+    # the diagnostic dump's rgb frames must be the REAL scene photos, not a
+    # shape-only placeholder (flat gray)
+    img_dirs = [d for d in os.listdir(tmp_path / "out")
+                if d.startswith("eval_image_data")]
+    assert img_dirs
+    rgb0 = np.asarray(PILImage.open(
+        tmp_path / "out" / img_dirs[0] / "rgb_0.jpg"), np.float32)
+    assert rgb0.std() > 10.0  # random-noise source frames, not a constant
