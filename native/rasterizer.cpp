@@ -84,14 +84,18 @@ struct Framebuffer {
   std::vector<int32_t> face;  // face id per pixel (-1 = none)
   std::vector<float> lod;     // mip lod per pixel
   std::vector<float> attr3;   // optional interpolated vec3 (vertex colors)
+  std::vector<float> deriv;   // optional [h*w*4] texel-space uv derivatives
+                              // (dudx, dvdx, dudy, dvdy) for aniso sampling
 
-  Framebuffer(int hh, int ww, bool with_attr3 = false) : h(hh), w(ww) {
+  Framebuffer(int hh, int ww, bool with_attr3 = false,
+              bool with_deriv = false) : h(hh), w(ww) {
     zbuf.assign((size_t)h * w, INFINITY);
     uv.assign((size_t)h * w * 2, 0.f);
     angle.assign((size_t)h * w, 0.f);
     face.assign((size_t)h * w, -1);
     lod.assign((size_t)h * w, 0.f);
     if (with_attr3) attr3.assign((size_t)h * w * 3, 0.f);
+    if (with_deriv) deriv.assign((size_t)h * w * 4, 0.f);
   }
 };
 
@@ -178,6 +182,12 @@ void raster_face(Framebuffer& fb, const Camera& cam, int face_id,
       fb.angle[idx] = cosang;
       fb.face[idx] = face_id;
       fb.lod[idx] = 0.5f * std::log2(std::max(rho2, 1e-20f));
+      if (!fb.deriv.empty()) {
+        fb.deriv[idx * 4 + 0] = dudx;
+        fb.deriv[idx * 4 + 1] = dvdx;
+        fb.deriv[idx * 4 + 2] = dudy;
+        fb.deriv[idx * 4 + 3] = dvdy;
+      }
       if (cc) {
         fb.attr3[idx * 3 + 0] = l0 * cc[0].x + l1 * cc[1].x + l2 * cc[2].x;
         fb.attr3[idx * 3 + 1] = l0 * cc[0].y + l1 * cc[1].y + l2 * cc[2].y;
@@ -302,6 +312,11 @@ int64_t sm_rasterize(const float* vertices, int64_t n_verts,
 //  texture: mip chain packed as level pointers? — single base level here;
 //  mips are generated internally (box filter), matching GL's
 //  glGenerateMipmap + LINEAR_MIPMAP_LINEAR sampling.
+//  max_aniso: anisotropic filtering degree (the reference sets
+//  GL_TEXTURE_MAX_ANISOTROPY_EXT = 8, renderer.cpp:110-140). 1 = isotropic
+//  trilinear; N > 1 takes up to N trilinear taps spaced along the major
+//  screen-space uv-derivative axis at the minor-axis mip level — the
+//  standard footprint-assembly scheme GL hardware implements.
 int64_t sm_render_textured(const float* vertices, int64_t n_verts,
                            const int32_t* faces, int64_t n_faces,
                            const float* uvs, const float* normals,
@@ -310,10 +325,11 @@ int64_t sm_render_textured(const float* vertices, int64_t n_verts,
                            int32_t h, int32_t w,
                            const float* texture, int32_t tex_h, int32_t tex_w,
                            int32_t shading,  // 0 = unlit, 1 = ambient+diffuse
+                           int32_t max_aniso,
                            float* out_rgb) {
   (void)n_verts;
   Camera cam = make_camera(cam2world, fx, fy, cx, cy);
-  Framebuffer fb(h, w);
+  Framebuffer fb(h, w, /*with_attr3=*/false, /*with_deriv=*/max_aniso > 1);
 
   // store uv + angle + lod; shade afterwards
   for (int64_t f = 0; f < n_faces; f++) {
@@ -387,15 +403,43 @@ int64_t sm_render_textured(const float* vertices, int64_t n_verts,
     }
     covered++;
     float u = fb.uv[i * 2], v = fb.uv[i * 2 + 1];
+
+    // footprint: X/Y screen-derivative vectors in texel units
+    int taps = 1;
+    float step_u = 0.f, step_v = 0.f;  // tap spacing in uv units
     float lodf = std::max(0.f, fb.lod[i]);
+    if (max_aniso > 1) {
+      float dudx = fb.deriv[i * 4 + 0], dvdx = fb.deriv[i * 4 + 1];
+      float dudy = fb.deriv[i * 4 + 2], dvdy = fb.deriv[i * 4 + 3];
+      float px2 = dudx * dudx + dvdx * dvdx;
+      float py2 = dudy * dudy + dvdy * dvdy;
+      float pmax2 = std::max(px2, py2), pmin2 = std::min(px2, py2);
+      float pmax = std::sqrt(std::max(pmax2, 1e-20f));
+      float pmin = std::sqrt(std::max(pmin2, 1e-20f));
+      float ratio = std::min(pmax / pmin, (float)max_aniso);
+      taps = std::max(1, (int)std::ceil(ratio - 1e-3f));
+      // sample at the minor-axis mip level, walking the major axis
+      lodf = std::max(0.f, std::log2(std::max(pmax / ratio, 1e-20f)));
+      bool x_major = px2 >= py2;
+      float mu = x_major ? dudx : dudy, mv = x_major ? dvdx : dvdy;
+      step_u = mu / tex_w / taps;  // back to uv units
+      step_v = mv / tex_h / taps;
+    }
     int l0 = (int)lodf;
     float frac = lodf - l0;
-    float rgb0[3], rgb1[3];
-    sample_level(l0, u, v, rgb0);
-    sample_level(l0 + 1, u, v, rgb1);
+    float acc[3] = {0.f, 0.f, 0.f};
+    for (int t = 0; t < taps; t++) {
+      float off = taps > 1 ? (t + 0.5f) - 0.5f * taps : 0.f;
+      float tu = u + step_u * off, tv = v + step_v * off;
+      float rgb0[3], rgb1[3];
+      sample_level(l0, tu, tv, rgb0);
+      sample_level(l0 + 1, tu, tv, rgb1);
+      for (int c = 0; c < 3; c++)
+        acc[c] += rgb0[c] * (1 - frac) + rgb1[c] * frac;
+    }
     float shade = shading ? (0.7f + 0.3f * fb.angle[i]) : 1.0f;
     for (int c = 0; c < 3; c++) {
-      float val = (rgb0[c] * (1 - frac) + rgb1[c] * frac) * shade;
+      float val = acc[c] / taps * shade;
       out_rgb[i * 3 + c] = std::min(std::max(val, 0.f), 1.f);
     }
   }

@@ -62,7 +62,7 @@ def load_library(rebuild=False):
         f32p, ctypes.c_int64, i32p, ctypes.c_int64, f32p, f32p, f32p,
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ctypes.c_int32, ctypes.c_int32, f32p, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, f32p,
+        ctypes.c_int32, ctypes.c_int32, f32p,
     ]
     lib.sm_render_vertex_colors.restype = ctypes.c_int64
     lib.sm_render_vertex_colors.argtypes = [
@@ -127,10 +127,15 @@ def render_vertex_colors_native(vertices, faces, colors, normals, cam2world,
 
 
 def render_textured_native(vertices, faces, uvs, normals, cam2world,
-                           intrinsics, hw, texture, shading=True):
+                           intrinsics, hw, texture, shading=True,
+                           max_aniso=8):
     """Textured mipmap render (the reference's post-train renderer,
     renderer.cpp:110-140 + rgb.frag shading). ``texture``: [Ht, Wt, 3] in
-    [0, 1]. Returns [H, W, 3] float."""
+    [0, 1]. Returns [H, W, 3] float.
+
+    ``max_aniso`` matches the reference's GL_TEXTURE_MAX_ANISOTROPY_EXT = 8
+    (renderer.cpp:110-140): up to N trilinear taps along the major
+    screen-space uv-derivative axis; 1 = plain trilinear."""
     lib = load_library()
     v, f, u, n, c = _prep(vertices, faces, uvs, normals, cam2world)
     k = np.asarray(intrinsics, np.float32)
@@ -141,5 +146,5 @@ def render_textured_native(vertices, faces, uvs, normals, cam2world,
                            float(k[0, 0]), float(k[1, 1]), float(k[0, 2]),
                            float(k[1, 2]), h, w,
                            tex, tex.shape[0], tex.shape[1],
-                           1 if shading else 0, out)
+                           1 if shading else 0, int(max_aniso), out)
     return out

@@ -16,7 +16,10 @@ static-shape JAX functions:
   many-views-per-step generalization for a TPU view-parallel step.
 - ``gram_mode='average'`` (rolling cache of the last 10 Grams, 9 detached,
   :319-323) becomes explicit functional state (:class:`GramCache`) carried in
-  the train state; cache entries hold the view-mean Gram (exact for V=1).
+  the train state. The cache walk is exact for any V: views are processed in
+  a view-outer sequential walk so view ``vi`` mixes against a history that
+  includes the pushes of earlier views in the same batch — identical to V
+  consecutive reference steps (gated by ``tests/test_losses.py``).
 
 Style targets are computed once per style image and folded as constants into
 the jitted step (:273-286 in the reference).

@@ -195,3 +195,44 @@ def test_vertex_color_segmentation_recolor():
     near = np.minimum(np.abs(rgb[hit]), np.abs(rgb[hit] - 1.0))
     assert near.max() < 1e-5
     assert (rgb[..., 0] > 0.99).any() and (rgb[..., 1] > 0.99).any()
+
+
+def test_anisotropic_filtering_vs_supersampled_oracle():
+    """Anisotropy-8 (the reference's GL_TEXTURE_MAX_ANISOTROPY_EXT=8,
+    renderer.cpp:110-140) on a grazing-angle floor: trilinear must pick the
+    mip for the LONG footprint axis and wash out stripes that vary along
+    the SHORT axis; N-tap aniso keeps them. Oracle = 8x supersampled render
+    box-averaged down (the true footprint integral)."""
+    # floor y=1, camera at origin looking +z: strongly anisotropic footprints
+    verts = np.asarray([(-4, 1, 0.2), (4, 1, 0.2), (4, 1, 30), (-4, 1, 30)],
+                       np.float32)
+    faces = np.asarray([(0, 1, 2), (0, 2, 3)], np.int32)
+    uvs = np.asarray([(0, 0), (1, 0), (1, 1), (0, 1)], np.float32)
+    normals = np.tile(np.asarray([0, -1, 0], np.float32), (4, 1))
+    cam = np.eye(4, dtype=np.float32)
+    k = np.array([[40.0, 0, 32.0], [0, 40.0, 24.0], [0, 0, 1]], np.float32)
+    hw = (48, 64)
+
+    # stripes along u (the horizontal/short footprint axis)
+    tex = np.zeros((256, 256, 3), np.float32)
+    tex[:, :, 0] = (np.arange(256)[None, :] // 8 % 2).astype(np.float32)
+    tex[:, :, 1] = 0.5
+
+    def render(max_aniso, scale=1):
+        ks = k.copy() * scale
+        ks[2, 2] = 1.0
+        return native.render_textured_native(
+            verts, faces, uvs, normals, cam, ks,
+            (hw[0] * scale, hw[1] * scale), tex, shading=False,
+            max_aniso=max_aniso)
+
+    s = 8
+    oracle = render(1, scale=s).reshape(hw[0], s, hw[1], s, 3).mean((1, 3))
+    tri = render(1)
+    aniso = render(8)
+    hit = oracle.sum(-1) > 0
+    mse_tri = float(((tri - oracle) ** 2)[hit].mean())
+    mse_aniso = float(((aniso - oracle) ** 2)[hit].mean())
+    assert mse_aniso < 0.6 * mse_tri, (mse_aniso, mse_tri)
+    # and aniso must not lose coverage or invent color
+    assert ((aniso.sum(-1) > 0) == (tri.sum(-1) > 0)).all()
