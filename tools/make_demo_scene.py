@@ -6,7 +6,10 @@ package so the quality-gate tests can parameterize it).
 Usage: python tools/make_demo_scene.py <out_root> [n_views]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from stylemesh_tpu.data.demo_scene import (  # noqa: F401 (back-compat)
     build_demo_scene,
