@@ -28,7 +28,7 @@ import numpy as np
 
 # persistent compile cache: the full-method graph compiles slowly on this
 # backend; repeated bench runs (and the driver's) hit the cache
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/stylemesh_tpu/jax_comp_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 REFERENCE_A100_VIEWS_PER_SEC = 4.0  # documented estimate, see module docstring
@@ -149,7 +149,21 @@ def _bench_cfg(batch_views):
     )
 
 
-def _time_steps(pipe, batch, label):
+def _step_cost(pipe, state, batch, aux):
+    """(flops, bytes) of the jitted train step from XLA's own cost analysis.
+
+    Uses an explicit lower().compile() — after the first pipe.train_step the
+    persistent compile cache makes this a deserialize, not a recompile.
+    Pallas custom calls count as 0 FLOPs (they do VPU one-hot work, not MXU
+    work), so the resulting MFU is the honest MXU-utilization read."""
+    exe = pipe._jit_train_step.lower(state, batch, aux).compile()
+    ca = exe.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def _time_steps(pipe, batch, label, result=None):
     import jax
 
     state = pipe.init()
@@ -166,6 +180,13 @@ def _time_steps(pipe, batch, label):
     _log(f"[{label}] prepare_batch: {prepare_s * 1e3:.1f} ms "
          f"(amortized /{INDEX_REPEAT})")
 
+    fl = by = 0.0
+    if result is not None and os.environ.get("BENCH_MFU") != "0":
+        try:
+            fl, by = _step_cost(pipe, state, batch, aux)
+        except Exception as e:  # cost analysis is reporting, never fatal
+            _log(f"[{label}] step cost analysis failed: {e}")
+
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, losses = pipe.train_step(state, batch, aux)
@@ -173,6 +194,19 @@ def _time_steps(pipe, batch, label):
     _log(f"[{label}] {STEPS} steps: {time.perf_counter() - t0:.2f}s elapsed")
     dt = time.perf_counter() - t0 + prepare_s * STEPS / INDEX_REPEAT
     batch_views = batch.rgb.shape[0]
+    if result is not None and fl > 0.0:
+        from stylemesh_tpu.utils.tpu_peaks import device_peaks
+
+        peak_fl, peak_hbm = device_peaks()
+        step_s = dt / STEPS
+        result["step_ms"] = round(step_s * 1e3, 1)
+        result["achieved_tflops"] = round(fl / step_s / 1e12, 2)
+        result["mfu"] = round(fl / step_s / peak_fl, 4)
+        result["hbm_gbps"] = round(by / step_s / 1e9, 1)
+        result["hbm_util"] = round(by / step_s / peak_hbm, 4)
+        _log(f"[{label}] MFU {result['mfu']:.1%} "
+             f"({result['achieved_tflops']} TF/s vs {peak_fl / 1e12:.0f} peak), "
+             f"HBM {result['hbm_gbps']} GB/s ({result['hbm_util']:.1%})")
     return STEPS * batch_views / dt
 
 
@@ -250,13 +284,15 @@ def _run_bench(batch_views):
     # fetches).
     batch = jax.device_put(batch)
     pipe = TexturePipeline(cfg, vgg, style)
-    views_per_sec = _time_steps(pipe, batch, "synthetic")
-    return {
+    result = {
         "metric": "views_per_sec_per_chip_full_method_4096sq_x4",
-        "value": round(views_per_sec, 3),
         "unit": "views/s",
-        "vs_baseline": round(views_per_sec / REFERENCE_A100_VIEWS_PER_SEC, 3),
     }
+    views_per_sec = _time_steps(pipe, batch, "synthetic", result=result)
+    result["value"] = round(views_per_sec, 3)
+    result["vs_baseline"] = round(
+        views_per_sec / REFERENCE_A100_VIEWS_PER_SEC, 3)
+    return result
 
 
 if __name__ == "__main__":

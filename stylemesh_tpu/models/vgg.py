@@ -189,6 +189,78 @@ def _conv3x3_relu_flip_bwd(precision, res, g):
 _conv3x3_relu_flipvjp.defvjp(_conv3x3_relu_flip_fwd, _conv3x3_relu_flip_bwd)
 
 
+def pack_w2d_kernel(kernel):
+    """[3,3,C,D] -> [3,3,2C,2D] width-to-depth phase-block kernel.
+
+    Output phase p at packed col j is the original conv at col 2j+p, which
+    sums original cols 2j+p-1..2j+p+1 — all inside packed cols j-1..j+1:
+        p=0: (kw=0, ph_in=1)<-K[:,0], (kw=1, ph_in=0)<-K[:,1],
+             (kw=1, ph_in=1)<-K[:,2]
+        p=1: (kw=1, ph_in=0)<-K[:,0], (kw=1, ph_in=1)<-K[:,1],
+             (kw=2, ph_in=0)<-K[:,2]
+    6 of 12 blocks nonzero -> exactly 2x the original FLOPs, with full
+    128-lane MXU rows for C,D <= 64 layers (see w2d_conv3x3)."""
+    kh, _, c, d = kernel.shape
+    kp = jnp.zeros((kh, 3, 2 * c, 2 * d), kernel.dtype)
+    kp = kp.at[:, 0, c:, :d].set(kernel[:, 0])
+    kp = kp.at[:, 1, :c, :d].set(kernel[:, 1])
+    kp = kp.at[:, 1, c:, :d].set(kernel[:, 2])
+    kp = kp.at[:, 1, :c, d:].set(kernel[:, 0])
+    kp = kp.at[:, 1, c:, d:].set(kernel[:, 1])
+    kp = kp.at[:, 2, :c, d:].set(kernel[:, 2])
+    return kp
+
+
+def w2d_conv3x3(x, kernel, bias, precision, relu=False):
+    """Exact conv3x3 with adjacent width pixels packed into channels.
+
+    The sub-128-lane trunk layers are MXU-starved (tools/mfu_probe.py on
+    v5e: conv1_1 0.7% MFU, conv1_2 7.1%, conv2_1 13.3% vs conv4_x ~58%):
+    with <=64 output channels half the systolic array idles and the big
+    spatial extents pay lane-padding on every tile. Packing
+    ``[V,H,W,C] -> [V,H,W/2,2C]`` (a free contiguous reshape) and running
+    the phase-block kernel (``pack_w2d_kernel``) doubles the FLOPs but
+    fills the lanes; measured it's the difference between 7% and ~40%+
+    effective MFU (tools/w2d_probe.py). Odd widths pad one zero column
+    and slice it back off — bit-exact either way (f32 parity gated in
+    tests/test_vgg.py). relu=True fuses the single-residual relu VJP."""
+    v, h, w, c = x.shape
+    d = kernel.shape[-1]
+    wp = w + (w % 2)
+    if wp != w:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    xp = x.reshape(v, h, wp // 2, 2 * c)
+    kp = pack_w2d_kernel(kernel)
+    bp = jnp.concatenate([bias, bias])
+    if os.environ.get("STYLEMESH_CONV_FLIPVJP", "1") != "0":
+        yp = (_conv3x3_relu_flipvjp if relu else _conv3x3_flipvjp)(
+            xp, kp, bp, precision)
+    else:  # VJP-path parity tests: auto-derived transpose throughout
+        yp = _conv3x3_xla(xp, kp, bp, precision)
+        if relu:
+            yp = jax.nn.relu(yp)
+    y = yp.reshape(v, h, wp, d)
+    return y[:, :, :w] if wp != w else y
+
+
+def _w2d_wanted(cin, cout):
+    """Width-to-depth packing is OPT-IN (STYLEMESH_W2D=1 packs the
+    min(cin,cout)<=64 head, =all every cin/cout<=128 layer): measured on
+    v5e it does NOT pay — conv1_2 packed is time-identical to plain
+    (34.4 vs 34.6 ms f+b) despite 2x the FLOPs at full 128 lanes, and
+    conv2_x/conv3_1 regress 0.5-0.86x (tools/w2d_probe.py,
+    results/w2d_probe.json). The flop-invariance shows the shallow-layer
+    cost is not MXU-lane occupancy; see RESULTS.md §3.2 for the full
+    dead-end analysis. Kept because it is exact (1e-7 f32 parity) and the
+    right building block if a future backend shifts the balance."""
+    mode = os.environ.get("STYLEMESH_W2D", "0")
+    if mode in ("0", ""):
+        return False
+    if mode == "all":
+        return cin <= 128 and cout <= 128
+    return min(cin, cout) <= 64
+
+
 def _conv3x3(x, kernel, bias, precision):
     if os.environ.get("STYLEMESH_CONV_FLIPVJP", "1") != "0":
         return _conv3x3_flipvjp(x, kernel, bias, precision)
@@ -335,7 +407,12 @@ def vgg_features(params, x, out_keys, pool="max", compute_dtype=None,
             b = params[conv]["bias"]
             if compute_dtype is not None:
                 k = k.astype(compute_dtype)
-            if fused_relu:
+            if _w2d_wanted(h.shape[-1], k.shape[-1]):
+                if fused_relu:
+                    h = w2d_conv3x3(h, k, b, precision, relu=True)
+                else:
+                    h = jax.nn.relu(w2d_conv3x3(h, k, b, precision))
+            elif fused_relu:
                 h = _conv3x3_relu_flipvjp(h, k, b, precision)
             else:
                 h = jax.nn.relu(_conv3x3(h, k, b, precision))

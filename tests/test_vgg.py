@@ -53,3 +53,49 @@ def test_fused_relu_vjp_matches_unfused(monkeypatch):
     v0, g0 = jax.value_and_grad(loss)(x)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
+
+
+def test_w2d_packed_conv_matches_plain(monkeypatch):
+    """Width-to-depth packed trunk (STYLEMESH_W2D=1, tools/w2d_probe.py)
+    must match the plain path: activations to f32 rounding, input grads
+    likewise — odd widths included (the pad-one-column path)."""
+    import jax
+
+    from stylemesh_tpu.models import vgg as V
+
+    params = init_vgg_params(rng=5)
+    x = jnp.asarray(
+        (RNG.random((2, 33, 45, 3)).astype(np.float32) - 0.45) * 255.0)
+    keys = ["r11", "r12", "r21", "r22", "r31"]
+    prec = jax.lax.Precision.HIGHEST
+
+    def run(keys_or_loss):
+        return vgg_features(params, x, keys, precision=prec)
+
+    plain = run(keys)
+    monkeypatch.setenv("STYLEMESH_W2D", "1")
+    packed = run(keys)
+    for k in keys:
+        a, b = np.asarray(plain[k]), np.asarray(packed[k])
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b, a, atol=1e-5 * scale, err_msg=k)
+
+    def loss(x, params):
+        f = vgg_features(params, x, ["r22"], precision=prec)["r22"]
+        return jnp.sum(jnp.sin(f * 1e-2))
+
+    monkeypatch.delenv("STYLEMESH_W2D")
+    g_plain = jax.grad(loss)(x, params)
+    monkeypatch.setenv("STYLEMESH_W2D", "1")
+    g_packed = jax.grad(loss)(x, params)
+    scale = max(np.abs(np.asarray(g_plain)).max(), 1e-6)
+    np.testing.assert_allclose(np.asarray(g_packed), np.asarray(g_plain),
+                               atol=1e-5 * scale)
+
+    # 'all' mode packs the 128-channel layers too
+    monkeypatch.setenv("STYLEMESH_W2D", "all")
+    allp = run(keys)
+    for k in keys:
+        a, b = np.asarray(plain[k]), np.asarray(allp[k])
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b, a, atol=1e-5 * scale, err_msg=k)
