@@ -154,8 +154,12 @@ def _step_cost(pipe, state, batch, aux):
 
     Uses an explicit lower().compile() — after the first pipe.train_step the
     persistent compile cache makes this a deserialize, not a recompile.
-    Pallas custom calls count as 0 FLOPs (they do VPU one-hot work, not MXU
-    work), so the resulting MFU is the honest MXU-utilization read."""
+    Two documented biases pull the resulting MFU in opposite directions
+    (ADVICE r4): Pallas custom calls count as 0 FLOPs (they do VPU one-hot
+    work, not MXU work — understates), while XLA's 'flops' total includes
+    VPU elementwise/transcendental flops divided here by the bf16 MXU peak
+    (overstates slightly). The number is the honest MXU-utilization read up
+    to those stated approximations."""
     exe = pipe._jit_train_step.lower(state, batch, aux).compile()
     ca = exe.cost_analysis()
     if isinstance(ca, (list, tuple)):
@@ -195,9 +199,11 @@ def _time_steps(pipe, batch, label, result=None):
     dt = time.perf_counter() - t0 + prepare_s * STEPS / INDEX_REPEAT
     batch_views = batch.rgb.shape[0]
     if result is not None and fl > 0.0:
-        from stylemesh_tpu.utils.tpu_peaks import device_peaks
+        from stylemesh_tpu.utils.tpu_peaks import device_peaks, peaks_assumed
 
         peak_fl, peak_hbm = device_peaks()
+        if peaks_assumed():
+            result["peaks_assumed"] = True  # see tpu_peaks.device_peaks
         step_s = dt / STEPS
         result["step_ms"] = round(step_s * 1e3, 1)
         result["achieved_tflops"] = round(fl / step_s / 1e12, 2)

@@ -22,6 +22,7 @@ a synthesized trajectory (geometry/trajectories.py).
 """
 
 import os
+import re
 import sys
 from os.path import join
 
@@ -97,6 +98,15 @@ def _read_keys_tty():
         while True:
             ch = sys.stdin.read(1)
             if ch == ESC:
+                # a lone ESC quits; an arrow key arrives as ESC [ A..D.
+                # In cbreak mode read(1) would block forever on a bare ESC,
+                # so poll briefly to distinguish the two (ADVICE r4).
+                import select
+
+                ready, _, _ = select.select([fd], [], [], 0.05)
+                if not ready:
+                    yield "x"
+                    continue
                 nxt = sys.stdin.read(1)
                 if nxt != "[":
                     yield "x"
@@ -235,8 +245,10 @@ def main(argv=None):
     elif args.keyframes is not None:
         from stylemesh_tpu.data.loading import load_extrinsics
 
+        # only numeric pose files (write_pose_dir's contract); skip stray
+        # intrinsics/notes .txt files instead of crashing (ADVICE r4)
         keys = sorted((f for f in os.listdir(args.keyframes)
-                       if f.endswith(".txt")),
+                       if re.fullmatch(r"\d+\.txt", f)),
                       key=lambda x: int(x.split(".")[0]))
         captured = interpolate_poses(
             [load_extrinsics(join(args.keyframes, f)) for f in keys],

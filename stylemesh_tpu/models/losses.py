@@ -56,11 +56,17 @@ class GramCache(NamedTuple):
     """Functional state for ``gram_mode='average'``.
 
     ``grams[layer]``: ``[GRAM_CACHE_DEPTH, C, C]`` ring buffer (slot 0 is the
-    most recent); ``count``: number of valid entries.
+    most recent); ``count``: number of valid entries. ``push_log`` is only
+    populated when ``ContentAndStyleLoss.collect_push_log`` is set (the
+    view-data-parallel cache merge, parallel/train.py): a
+    ``({layer: [P, C, C] detached grams}, [P] bool flags)`` record of the
+    walk's pushes in (view-outer, level-inner) order. Never carried in
+    TrainState — the consumers strip it.
     """
 
     grams: Dict[str, jax.Array]
     count: jax.Array  # scalar int32
+    push_log: Optional[Tuple[Dict[str, jax.Array], jax.Array]] = None
 
     @staticmethod
     def create(style_layers, layer_channels):
@@ -99,6 +105,9 @@ class ContentAndStyleLoss:
     remat_min_px: int = 0
     compute_dtype: Optional[jnp.dtype] = None
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    # record the gram-average walk's pushes in GramCache.push_log (the
+    # view-DP cross-chip cache merge needs them; see parallel/train.py)
+    collect_push_log: bool = False
     # pyramid levels statically known to be empty for EVERY view of the
     # scene (whole-scene depth-level analysis in optimize.py): their VGG
     # encode and every gram/content term are skipped at trace time. The
@@ -354,10 +363,13 @@ class ContentAndStyleLoss:
             count = new_cache.count
             mixed = [{k: [] for k in self.style_layers}
                      for _ in range(num_levels)]
+            push_flags = []
+            push_grams = {k: [] for k in self.style_layers}
             for vi in range(v):
                 for i in live:
                     count_snap = count
                     ne = level_nonempty[i][vi]
+                    push_flags.append(ne)
                     for k in self.style_layers:
                         cache_k = cache_grams[k]
                         n_detached = jnp.minimum(count_snap,
@@ -369,8 +381,10 @@ class ContentAndStyleLoss:
                         denom = (n_detached + 1).astype(jnp.float32)
                         cur = y_hat_grams[i][k][vi]
                         mixed[i][k].append((cur + detached_sum) / denom)
+                        cur_det = jax.lax.stop_gradient(cur)
+                        push_grams[k].append(cur_det)
                         pushed = jnp.roll(cache_k, 1, axis=0).at[0].set(
-                            jax.lax.stop_gradient(cur))
+                            cur_det)
                         cache_grams[k] = jnp.where(ne, pushed, cache_k)
                     count = jnp.where(
                         ne, jnp.minimum(count_snap + 1, GRAM_CACHE_DEPTH),
@@ -378,7 +392,12 @@ class ContentAndStyleLoss:
             for i in live:
                 for k in self.style_layers:
                     y_hat_grams[i][k] = jnp.stack(mixed[i][k], axis=0)
-            new_cache = GramCache(grams=cache_grams, count=count)
+            push_log = None
+            if self.collect_push_log and push_flags:
+                push_log = ({k: jnp.stack(g) for k, g in push_grams.items()},
+                            jnp.stack(push_flags))
+            new_cache = GramCache(grams=cache_grams, count=count,
+                                  push_log=push_log)
 
         style_loss = jnp.zeros((), dtype=jnp.float32)
         content_loss = jnp.zeros((), dtype=jnp.float32)

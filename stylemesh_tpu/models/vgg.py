@@ -243,6 +243,52 @@ def w2d_conv3x3(x, kernel, bias, precision, relu=False):
     return y[:, :, :w] if wp != w else y
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv3x3_relu_v2(x, kernel, bias, interpret):
+    """Fused conv3x3+bias+relu on the v2 width-packed Pallas path
+    (ops/conv_pallas.py::conv3x3_v2) with the frozen-VGG flip VJP.
+
+    Same single-residual backward as ``_conv3x3_relu_flipvjp`` (mask from
+    the output, dx = flipped-kernel conv of the masked cotangent) but both
+    convs run the Pallas kernel. bf16 in/out, fp32 MXU accumulation.
+    """
+    from stylemesh_tpu.ops.conv_pallas import conv3x3_v2
+
+    return conv3x3_v2(x, kernel, bias, relu=True, interpret=interpret)
+
+
+def _conv3x3_relu_v2_fwd(x, kernel, bias, interpret):
+    y = _conv3x3_relu_v2(x, kernel, bias, interpret)
+    return y, (y, kernel, bias)
+
+
+def _conv3x3_relu_v2_bwd(interpret, res, g):
+    from stylemesh_tpu.ops.conv_pallas import conv3x3_v2
+
+    y, kernel, bias = res
+    g = jnp.where(y > 0, g, jnp.zeros((), g.dtype)).astype(jnp.bfloat16)
+    kt = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = conv3x3_v2(g, kt, relu=False, interpret=interpret)
+    return dx, jnp.zeros_like(kernel), jnp.zeros_like(bias)
+
+
+_conv3x3_relu_v2.defvjp(_conv3x3_relu_v2_fwd, _conv3x3_relu_v2_bwd)
+
+
+def _v2_wanted(x, kernel, precision, fused_relu):
+    """The v2 Pallas conv path (STYLEMESH_CONV_V2, default on for TPU bf16):
+    exact trunk shapes only — bf16 compute, DEFAULT precision, Cin >= 32
+    (conv1_1's 3-wide minor dim can't DMA; it stays on XLA), relu fused
+    (the trunk always fuses; the A/B fallback paths don't hit v2)."""
+    if os.environ.get("STYLEMESH_CONV_V2", "1") == "0":
+        return False
+    return (fused_relu
+            and x.dtype == jnp.bfloat16 and kernel.dtype == jnp.bfloat16
+            and precision in (None, jax.lax.Precision.DEFAULT)
+            and x.shape[-1] >= 32
+            and jax.default_backend() == "tpu")
+
+
 def _w2d_wanted(cin, cout):
     """Width-to-depth packing is OPT-IN (STYLEMESH_W2D=1 packs the
     min(cin,cout)<=64 head, =all every cin/cout<=128 layer): measured on
@@ -412,6 +458,8 @@ def vgg_features(params, x, out_keys, pool="max", compute_dtype=None,
                     h = w2d_conv3x3(h, k, b, precision, relu=True)
                 else:
                     h = jax.nn.relu(w2d_conv3x3(h, k, b, precision))
+            elif _v2_wanted(h, k, precision, fused_relu):
+                h = _conv3x3_relu_v2(h, k, b.astype(jnp.float32), False)
             elif fused_relu:
                 h = _conv3x3_relu_flipvjp(h, k, b, precision)
             else:

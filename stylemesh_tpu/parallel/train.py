@@ -44,13 +44,20 @@ class ShardedTexturePipeline(TexturePipeline):
 
     def __init__(self, config: PipelineConfig, vgg_params, style_image,
                  mesh=None, axis_name="views", style_targets=None):
-        assert config.gram_mode == "current", (
-            "view-data-parallel training supports gram_mode='current' only "
-            "(the 'average' ring cache is inherently view-sequential)")
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis_name = axis_name
         super().__init__(config, vgg_params, style_image,
                          style_targets=style_targets)
+        if config.gram_mode == "average":
+            # gram_mode='average' (the reference's dip preset) under
+            # view-DP: each chip runs the exact sequential walk over its
+            # LOCAL views, then the per-view pushed grams are all-gathered
+            # and folded into the pre-step cache in global (chip, view)
+            # order — see _merge_gram_pushes for the exact-vs-stale
+            # semantics. The loss must log its pushes for that.
+            import dataclasses
+
+            self.loss = dataclasses.replace(self.loss, collect_push_log=True)
         self._sharded_step = None  # built lazily (needs batch structure)
         self._sharded_eval = None
 
@@ -61,6 +68,47 @@ class ShardedTexturePipeline(TexturePipeline):
 
     # --------------------------------------------------------- shard_map body
 
+    def _merge_gram_pushes(self, pre_cache, local_cache):
+        """Deterministic cross-chip gram-cache update for gram_mode='average'.
+
+        The walk's pushes are detached per-view grams that do NOT depend on
+        the walk order (losses.py pushes ``stop_gradient(cur)``, the raw
+        per-view gram), so folding every chip's pushes into the PRE-step
+        cache in (chip, view, level) order — which with contiguous view
+        shards IS the original view order — reproduces the single-chip
+        sequential cache BIT-EXACTLY. The only deviation from the reference
+        (content_and_style_losses.py:319-323) is in the *mixing* each view
+        saw during the step: a view mixes against the shared history plus
+        earlier LOCAL pushes only; same-step pushes from other chips land
+        one step late. With the 10-deep cache and the reference's
+        index_repeat>=4 repeat sampling this staleness is one batch out of
+        >=40 cache entries' worth of history (documented in PARITY.md).
+        """
+        import jax.numpy as jnp
+
+        from stylemesh_tpu.models.losses import GRAM_CACHE_DEPTH, GramCache
+
+        pushes, flags = local_cache.push_log
+        flags_g = jax.lax.all_gather(flags, self.axis_name).reshape(-1)
+
+        def fold_layer(cache_k, pushes_k):
+            pg = jax.lax.all_gather(pushes_k, self.axis_name)
+            pg = pg.reshape((-1,) + pushes_k.shape[1:])
+
+            def body(c, xs):
+                g, f = xs
+                pushed = jnp.roll(c, 1, axis=0).at[0].set(g)
+                return jnp.where(f, pushed, c), None
+
+            out, _ = jax.lax.scan(body, cache_k, (pg, flags_g))
+            return out
+
+        grams = {k: fold_layer(pre_cache.grams[k], pushes[k]) for k in pushes}
+        count = jnp.minimum(
+            pre_cache.count + jnp.sum(flags_g.astype(jnp.int32)),
+            GRAM_CACHE_DEPTH)
+        return GramCache(grams=grams, count=count)
+
     def _local_train_step(self, state, batch, aux):
         """Runs per chip on the local view slice; grads reduced over ICI."""
         import optax
@@ -70,6 +118,8 @@ class ShardedTexturePipeline(TexturePipeline):
         (_, (losses, new_cache)), grads = jax.value_and_grad(
             self.loss_fn, has_aux=True)(state.texture, batch,
                                         state.gram_cache, aux)
+        if new_cache is not None and new_cache.push_log is not None:
+            new_cache = self._merge_gram_pushes(state.gram_cache, new_cache)
         grads = jax.lax.pmean(grads, self.axis_name)
         losses = jax.lax.pmean(losses, self.axis_name)
         updates, opt_state = self.optimizer.update(grads, state.opt_state,

@@ -17,15 +17,31 @@ _PEAKS = (
 )
 
 
-def device_peaks(device=None):
+def device_peaks(device=None, warn=True):
     """(peak bf16 FLOP/s, peak HBM bytes/s) for `device` (default: devices()[0]).
 
     Unknown kinds (e.g. the CPU test backend) fall back to v5e numbers so
-    ratios stay computable; callers that care should check device_kind.
+    ratios stay computable — but LOUDLY: some libtpu versions report e.g.
+    v5p as just "TPU v5", and silently dividing by the wrong peak would
+    overstate MFU ~2.3x (ADVICE r4). Check :func:`peaks_assumed` or the
+    stderr warning when consuming the ratios.
     """
     d = device if device is not None else jax.devices()[0]
     kind = getattr(d, "device_kind", "").lower()
     for key, peaks in _PEAKS:
         if key in kind:
             return peaks
+    if warn and "cpu" not in kind:
+        import sys
+
+        print(f"# tpu_peaks: unrecognized device_kind {kind!r}; ASSUMING v5e "
+              f"peaks (197 TF/s, 819 GB/s) — MFU/HBM-util ratios may be wrong",
+              file=sys.stderr, flush=True)
     return 197e12, 819e9
+
+
+def peaks_assumed(device=None):
+    """True when device_peaks() fell back to assumed v5e numbers."""
+    d = device if device is not None else jax.devices()[0]
+    kind = getattr(d, "device_kind", "").lower()
+    return not any(key in kind for key, _ in _PEAKS)

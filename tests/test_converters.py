@@ -1,0 +1,154 @@
+"""Round-trip tests of the pretrained-weight converters (VERDICT r4 #5).
+
+The real ``vgg_conv.pth`` / lpips checkpoints cannot be downloaded in this
+environment, so these tests build synthetic torch state dicts with the EXACT
+keys/shapes/dtypes of the real files (reference
+/root/reference/model/losses/content_and_style_losses.py:10-27 for the 16
+Gatys convs; the pip lpips package's ``lin{0..4}.model.1.weight`` [1,C,1,1]
+for the linear probes), run the committed converter CLIs on them, load the
+results through the production loaders, and golden-test activations against
+the torch oracle — so a schema/shape bug in the converters cannot survive.
+"""
+
+import subprocess
+import sys
+from os.path import dirname, join
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REPO = dirname(dirname(__file__))
+
+# (name, cin, cout) of the 16 Gatys convs — the vgg_conv.pth schema
+GATYS_CONVS = [
+    ("conv1_1", 3, 64), ("conv1_2", 64, 64),
+    ("conv2_1", 64, 128), ("conv2_2", 128, 128),
+    ("conv3_1", 128, 256), ("conv3_2", 256, 256), ("conv3_3", 256, 256),
+    ("conv3_4", 256, 256),
+    ("conv4_1", 256, 512), ("conv4_2", 512, 512), ("conv4_3", 512, 512),
+    ("conv4_4", 512, 512),
+    ("conv5_1", 512, 512), ("conv5_2", 512, 512), ("conv5_3", 512, 512),
+    ("conv5_4", 512, 512),
+]
+LPIPS_CHANNELS = (64, 128, 256, 512, 512)  # lin0..lin4 (r12/r22/r33/r43/r53)
+
+
+def _fake_vgg_conv_pth(path, seed=0):
+    """A state dict shaped exactly like the reference's vgg_conv.pth."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+    for name, cin, cout in GATYS_CONVS:
+        sd[f"{name}.weight"] = torch.tensor(
+            rng.normal(0, np.sqrt(2.0 / (9 * cin)),
+                       (cout, cin, 3, 3)).astype(np.float32))
+        sd[f"{name}.bias"] = torch.tensor(
+            rng.normal(0, 0.05, (cout,)).astype(np.float32))
+    torch.save(sd, path)
+    return sd
+
+
+def _run_tool(tool, *args):
+    subprocess.run([sys.executable, join(REPO, "tools", tool), *args],
+                   check=True, cwd=REPO)
+
+
+def test_convert_vgg_round_trip(tmp_path):
+    src = str(tmp_path / "vgg_conv.pth")
+    dst = str(tmp_path / "vgg_conv.npz")
+    sd = _fake_vgg_conv_pth(src)
+    _run_tool("convert_vgg.py", src, dst)
+
+    from stylemesh_tpu.models.vgg import load_vgg_params, vgg_features
+
+    params = load_vgg_params(dst)
+    # every conv present, HWIO, weights transposed not scrambled
+    for name, cin, cout in GATYS_CONVS:
+        k = np.asarray(params[name]["kernel"])
+        assert k.shape == (3, 3, cin, cout)
+        want = sd[f"{name}.weight"].numpy().transpose(2, 3, 1, 0)
+        np.testing.assert_array_equal(k, want)
+        np.testing.assert_array_equal(np.asarray(params[name]["bias"]),
+                                      sd[f"{name}.bias"].numpy())
+
+    # golden-test activations through the torch oracle of the reference VGG
+    from tests.torch_reference import torch_params_from_jax, vgg_forward
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 50.0, (1, 32, 40, 3)).astype(np.float32)
+    keys = ("r11", "r21", "r31", "r42", "r51", "p5")
+    import jax.numpy as jnp
+
+    jax_out = vgg_features(params, jnp.asarray(x), keys)
+    t_params = torch_params_from_jax(params)
+    t_out = vgg_forward(t_params, torch.tensor(x).permute(0, 3, 1, 2), keys)
+    for k in keys:
+        a = np.asarray(jax_out[k])
+        b = t_out[k].permute(0, 2, 3, 1).numpy()
+        # f32 conv reassociation (XLA vs torch) + ReLU-boundary flips allow
+        # ~1e-3-relative outliers at activation scale ~1e2; this is a
+        # schema/shape round-trip gate, not a numerics one
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+
+
+def test_convert_vgg_torchvision_round_trip(tmp_path):
+    """torchvision vgg16 schema: features.<idx>.weight, 13 convs."""
+    idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    shapes = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128),
+              (256, 256), (256, 256), (512, 256), (512, 512), (512, 512),
+              (512, 512), (512, 512), (512, 512)]
+    rng = np.random.default_rng(2)
+    sd = {}
+    for i, (cout, cin) in zip(idx, shapes):
+        sd[f"features.{i}.weight"] = torch.tensor(
+            rng.normal(0, 0.05, (cout, cin, 3, 3)).astype(np.float32))
+        sd[f"features.{i}.bias"] = torch.tensor(
+            rng.normal(0, 0.05, (cout,)).astype(np.float32))
+    src = str(tmp_path / "vgg16.pth")
+    dst = str(tmp_path / "vgg16.npz")
+    torch.save(sd, src)
+    _run_tool("convert_vgg.py", "--torchvision", src, dst)
+
+    from stylemesh_tpu.models.vgg import load_vgg_params
+
+    params = load_vgg_params(dst)
+    # conv1_1 maps from features.0; conv3_4 duplicates conv3_3 (features.14)
+    np.testing.assert_array_equal(
+        np.asarray(params["conv1_1"]["kernel"]),
+        sd["features.0.weight"].numpy().transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(np.asarray(params["conv3_4"]["kernel"]),
+                                  np.asarray(params["conv3_3"]["kernel"]))
+
+
+def test_convert_lpips_round_trip(tmp_path):
+    """lpips vgg lin weights: lin{i}.model.1.weight [1,C,1,1] -> [C] npz."""
+    rng = np.random.default_rng(3)
+    sd = {}
+    want = []
+    for i, c in enumerate(LPIPS_CHANNELS):
+        w = np.abs(rng.normal(0, 0.1, (1, c, 1, 1))).astype(np.float32)
+        sd[f"lin{i}.model.1.weight"] = torch.tensor(w)
+        want.append(w.reshape(c))
+    src = str(tmp_path / "lpips_vgg.pth")
+    dst = str(tmp_path / "lpips_lin.npz")
+    torch.save(sd, src)
+    _run_tool("convert_lpips.py", src, dst)
+
+    from stylemesh_tpu.eval.lpips import LPIPS_LAYERS, LPIPSDistance
+
+    lin = LPIPSDistance.load_lin_weights(dst)
+    for layer, w in zip(LPIPS_LAYERS, want):
+        np.testing.assert_array_equal(np.asarray(lin[layer]), w)
+
+    # the loaded weights drive a calibrated distance end to end
+    from stylemesh_tpu.models.vgg import init_vgg_params
+
+    vgg = init_vgg_params(rng=0, he=True)
+    dist = LPIPSDistance(vgg, lin_weights=lin)
+    assert dist.calibrated
+    a = rng.random((1, 32, 32, 3)).astype(np.float32) * 2 - 1
+    b = rng.random((1, 32, 32, 3)).astype(np.float32) * 2 - 1
+    d_ab = float(np.asarray(dist(a, b)).reshape(-1)[0])
+    d_aa = float(np.asarray(dist(a, a)).reshape(-1)[0])
+    assert d_ab > d_aa >= 0.0

@@ -162,6 +162,50 @@ def test_atlas_sharded_step_matches(setup):
                                    err_msg=f"layer {i} gradient")
 
 
+def test_sharded_gram_average_cache_matches_sequential(setup):
+    """gram_mode='average' (the dip preset) under view-DP: the post-step
+    ring cache must EXACTLY reproduce the single-chip sequential walk's
+    cache — pushes are detached per-view grams independent of walk order,
+    folded in global (chip, view, level) order (parallel/train.py::
+    _merge_gram_pushes). The in-step mixing is allowed the documented
+    one-step cross-chip staleness, so losses are compared loosely only."""
+    import dataclasses
+
+    cfg, _, style, batch = setup
+    # He-normalized VGG: the fixture's fixed-scale random VGG explodes deep
+    # activations, and the encode of a view inside a [1,...] vs [8,...]
+    # batch rounds differently (f32 reassociation) — chaotic amplification
+    # then breaks per-entry gram comparisons between EXACT implementations
+    # (same conditioning note as test_atlas_sharded_step_matches).
+    vgg = init_vgg_params(rng=7, he=True)
+    cfg_avg = dataclasses.replace(cfg, gram_mode="average")
+
+    single = TexturePipeline(cfg_avg, vgg, style)
+    s_state = single.init()
+    s_state, s_losses = single.train_step(s_state, batch)
+
+    mesh = make_mesh(jax.devices())
+    sharded = ShardedTexturePipeline(cfg_avg, vgg, style, mesh=mesh)
+    assert sharded.loss.collect_push_log
+    p_state = sharded.init()
+    p_state, p_losses = sharded.train_step(p_state, batch)
+
+    assert p_state.gram_cache.push_log is None  # never carried in state
+    assert int(p_state.gram_cache.count) == int(s_state.gram_cache.count)
+    for k, ref in s_state.gram_cache.grams.items():
+        np.testing.assert_allclose(np.asarray(p_state.gram_cache.grams[k]),
+                                   np.asarray(ref), rtol=1e-5, atol=1e-6,
+                                   err_msg=f"cache[{k}]")
+    # first-step mixing: every view's history is empty on both sides except
+    # for cross-chip staleness; losses stay in the same ballpark
+    np.testing.assert_allclose(float(p_losses["total"]),
+                               float(s_losses["total"]), rtol=0.3)
+
+    # the merged cache drives a second step without shape/type surprises
+    p_state, p_losses2 = sharded.train_step(p_state, batch)
+    assert np.isfinite(float(p_losses2["total"]))
+
+
 def test_sharded_multiple_steps(setup):
     cfg, vgg, style, batch = setup
     mesh = make_mesh(jax.devices())
