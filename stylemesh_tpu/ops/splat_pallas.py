@@ -65,22 +65,30 @@ def _corner_terms(u, v, tex_h, tex_w):
 
 def _window_onehots(iy0, iy1, ix0, ix1, wy1, wx1, alive, oy, ox,
                     region_h, region_w, tile_px, dtype=jnp.float32):
-    """Combined row/col one-hot weight matrices for a window (the 2x2
-    bilinear footprint factorizes; out-of-window corners vanish because the
-    iota never matches their offset). The [R*, tile_px] builds dominate the
-    kernels' VPU time, so: aliveness folds into the per-pixel row weights
-    (no extra [RH, tile_px] multiply) and everything is built directly in
-    the compute dtype (no post-hoc cast passes). Exact either way — one-hot
-    entries and 0/1 masks are representable in bf16; the bilinear weights
-    round once exactly as the previous cast did."""
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (region_h, tile_px), 0)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (region_w, tile_px), 0)
-    w0 = ((1.0 - wy1) * alive).astype(dtype)
-    w1 = (wy1 * alive).astype(dtype)
-    row_w = ((iota_r == (iy0 - oy)).astype(dtype) * w0
-             + (iota_r == (iy1 - oy)).astype(dtype) * w1)
-    col_w = ((iota_c == (ix0 - ox)).astype(dtype) * (1.0 - wx1).astype(dtype)
-             + (iota_c == (ix1 - ox)).astype(dtype) * wx1.astype(dtype))
+    """Combined row/col bilinear weight matrices for a window, built as a
+    TENT: ``row_w[r, p] = relu(alive[p] - |py_loc[p] - r|)``.
+
+    The tent reproduces ``onehot(iy0-oy)*(1-wy1) + onehot(iy1-oy)*wy1``
+    bit-exactly in f32 (``py_loc = (iy0-oy) + wy1`` is exact — both terms
+    are small; at the two integer neighbours the tent evaluates to exactly
+    ``1-wy1`` / ``wy1`` and everywhere else to <= 0) while replacing two
+    int iota-compares + two multiplies + add per matrix with one subtract +
+    abs + relu. These [R*, tile_px] builds dominate the kernels' VPU time
+    (the round-4 profile's remaining demo-room seam penalty), so the op-count
+    halving is the point. Aliveness folds into the tent's peak (alive=0 ->
+    relu of a non-positive value -> 0), the clamped bottom/right texel edge
+    is exact because its second-corner weight is zero there, and bf16 mode
+    casts once from the exact f32 weights — the same single rounding as the
+    previous one-hot form. A/B: tools/demo_kernel_ab.py."""
+    del iy1, ix1  # tent needs only the fractional positions
+    iota_r = jax.lax.broadcasted_iota(
+        jnp.int32, (region_h, tile_px), 0).astype(jnp.float32)
+    iota_c = jax.lax.broadcasted_iota(
+        jnp.int32, (region_w, tile_px), 0).astype(jnp.float32)
+    py_loc = (iy0 - oy).astype(jnp.float32) + wy1
+    px_loc = (ix0 - ox).astype(jnp.float32) + wx1
+    row_w = jnp.maximum(alive - jnp.abs(py_loc - iota_r), 0.0).astype(dtype)
+    col_w = jnp.maximum(alive - jnp.abs(px_loc - iota_c), 0.0).astype(dtype)
     return row_w, col_w
 
 
