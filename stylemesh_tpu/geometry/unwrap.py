@@ -84,16 +84,55 @@ def _plane_basis(n):
     return u, v
 
 
-def _pca_align(pts2):
-    """Rotate 2D points so their dominant principal axis is horizontal
-    (approximates Blender's pack-with-rotation bbox shrinking)."""
+def _convex_hull(pts):
+    """Andrew's monotone chain; pts [n, 2] -> hull vertices CCW."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2],
+                                             p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def _min_rect_align(pts2):
+    """Rotate 2D points into their minimum-area bounding rectangle, wide
+    side horizontal (rotating calipers over the convex hull — the exact
+    version of Blender's pack-with-rotation bbox shrink). PCA alignment is
+    NOT this: on symmetric islands (squares, regular patches) its
+    eigenvectors are arbitrary and inflate the bbox by up to sqrt(2)
+    (measured: an 8x8 floor packed as an 11.31x11.31 diamond)."""
     flat = pts2.reshape(-1, 2)
-    c = flat - flat.mean(0)
-    cov = c.T @ c
-    _, vecs = np.linalg.eigh(cov)
-    axis = vecs[:, -1]  # largest eigenvalue
-    rot = np.stack([axis, np.asarray([-axis[1], axis[0]])], axis=0)
-    return pts2 @ rot.T
+    hull = _convex_hull(flat)
+    if len(hull) <= 2:
+        return pts2
+    edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
+    lens = np.linalg.norm(edges, axis=1)
+    keep = lens > 1e-12
+    if not keep.any():
+        return pts2
+    dirs = edges[keep] / lens[keep, None]
+    # candidate rotations: each hull edge horizontal
+    best, best_area = None, np.inf
+    for d in dirs:
+        rot = np.asarray([[d[0], d[1]], [-d[1], d[0]]])
+        h2 = hull @ rot.T
+        w, h = h2.max(0) - h2.min(0)
+        if w * h < best_area:
+            best_area = w * h
+            best = rot if w >= h else np.asarray(
+                [[-d[1], d[0]], [-d[0], -d[1]]])
+    return pts2 @ best.T
 
 
 def _islands(faces, bins):
@@ -140,32 +179,67 @@ def smart_project(mesh: Mesh, margin=0.002, angle_limit=ANGLE_LIMIT) -> Mesh:
         u, v = _plane_basis(directions[bins[island[0]]])
         tri = vertices[faces[island]]  # [n, 3, 3]
         pts = np.stack([tri @ u, tri @ v], axis=-1)  # [n, 3, 2]
-        pts = _pca_align(pts)
+        pts = _min_rect_align(pts)
         mn = pts.reshape(-1, 2).min(0)
         pts = pts - mn
         proj.append((island, pts))
 
-    # shelf packing by descending height, normalized to unit square
+    # shelf packing by descending height at the largest uniform scale that
+    # fits the unit square (bisected) — a fixed pre-scale + shrink-to-fit
+    # left the atlas' right/top bands empty (measured 23-59% texel
+    # utilization on the tools/unwrap_metrics.py fixtures; the search lifts
+    # the same fixtures to ~70%+, directly more texels per island at any
+    # texture size).
     order = sorted(range(len(proj)),
                    key=lambda i: -proj[i][1].reshape(-1, 2)[:, 1].max())
     sizes = [proj[i][1].reshape(-1, 2).max(0) for i in range(len(proj))]
+
+    def shelf_pack(scale):
+        """First-fit-decreasing-height shelf pack at ``scale``; returns
+        (offsets, height_used). The margin is kept in absolute UV units (it
+        guards texel bleed, so it must not shrink with the islands) and is
+        only paid BETWEEN islands — no trailing margin against the atlas
+        border, which matters exactly when two halves share a shelf."""
+        shelves = []  # [y, height, x_cursor]
+        offsets = [None] * len(proj)
+        for i in order:
+            w, h = sizes[i] * scale
+            placed = False
+            for s in shelves:
+                x0 = s[2] + (margin if s[2] > 0 else 0.0)
+                if x0 + w <= 1.0 and h <= s[1] + 1e-12:
+                    offsets[i] = (x0, s[0])
+                    s[2] = x0 + w
+                    placed = True
+                    break
+            if not placed:
+                y = (shelves[-1][0] + shelves[-1][1] + margin) if shelves else 0.0
+                shelves.append([y, h, w])
+                offsets[i] = (0.0, y)
+        if not shelves:
+            return offsets, margin
+        return offsets, shelves[-1][0] + shelves[-1][1]
+
     total_area = sum((s[0] + 1e-6) * (s[1] + 1e-6) for s in sizes)
-    scale = 1.0 / np.sqrt(total_area) * 0.9  # pre-scale into ~unit square
+    hi = 1.0 / np.sqrt(total_area)  # >= perfect packing's scale
+    widest = max(s[0] for s in sizes) + 1e-12
+    hi = min(hi, (1.0 - margin) / widest)  # every island must fit one shelf
+    lo = hi * 0.25
+    offsets, height_used = shelf_pack(lo)
+    if height_used > 1.0:
+        hi = lo  # extremely fragmented: fall back to shrink-to-fit below
+    else:
+        for _ in range(24):
+            mid = 0.5 * (lo + hi)
+            o, hu = shelf_pack(mid)
+            if hu <= 1.0:
+                lo, offsets, height_used = mid, o, hu
+            else:
+                hi = mid
+    scale = lo
 
-    shelf_x, shelf_y, shelf_h = 0.0, 0.0, 0.0
-    offsets = [None] * len(proj)
-    max_x = 1.0
-    for i in order:
-        w, h = sizes[i] * scale
-        if shelf_x + w + margin > max_x and shelf_x > 0:
-            shelf_y += shelf_h + margin
-            shelf_x, shelf_h = 0.0, 0.0
-        offsets[i] = (shelf_x, shelf_y)
-        shelf_x += w + margin
-        shelf_h = max(shelf_h, h)
-    height_used = shelf_y + shelf_h + margin
-
-    # second normalization so everything fits [0, 1]
+    # safety normalization (no-op when the bisection fit, which it does for
+    # any non-degenerate mesh)
     norm = 1.0 / max(1.0, height_used)
 
     # emit per-corner uvs -> vertex-split mesh

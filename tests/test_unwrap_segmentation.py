@@ -47,6 +47,28 @@ def test_smart_project_cube():
     assert grid.max() <= 2
 
 
+def test_smart_project_packing_quality():
+    """The packer must actually fill the atlas: min-area-rect alignment +
+    bisected FFDH shelf pack reach ~87% texel utilization on the demo room
+    (tools/unwrap_metrics.py; the old PCA align packed the square floor as
+    a 45-degree diamond and capped the whole atlas at ~23%)."""
+    from stylemesh_tpu.data.demo_scene import room_mesh
+
+    mesh = smart_project(room_mesh())
+    uvs = np.asarray(mesh.uvs, np.float64)
+    tri2 = uvs[np.asarray(mesh.faces)]
+    a2 = 0.5 * np.abs(np.cross(tri2[:, 1] - tri2[:, 0],
+                               tri2[:, 2] - tri2[:, 0]))
+    assert uvs.min() >= 0.0 and uvs.max() <= 1.0
+    assert a2.sum() > 0.80  # fraction of the unit square actually used
+    # uniform texel density across islands (pure rigid pack, no stretch)
+    tri3 = np.asarray(mesh.vertices, np.float64)[np.asarray(mesh.faces)]
+    a3 = 0.5 * np.linalg.norm(np.cross(tri3[:, 1] - tri3[:, 0],
+                                       tri3[:, 2] - tri3[:, 0]), axis=1)
+    density = np.sqrt(a2 / a3)
+    assert np.std(density / density.mean()) < 1e-5
+
+
 def test_decimate_reduces_faces():
     rng = np.random.default_rng(0)
     # dense grid mesh (2*29*29 faces)
