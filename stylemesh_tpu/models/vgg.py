@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from stylemesh_tpu.ops.conv_im2col import conv3x3_im2col
 from stylemesh_tpu.ops.conv_pallas import conv3x3_frozen
+from stylemesh_tpu.ops.head_pallas import conv_relu_pool
 
 # (name, in_channels, out_channels) for the 13 convs of VGG-16 in trunk order.
 VGG_CONVS = [
@@ -275,6 +277,67 @@ def _conv3x3_relu_v2_bwd(interpret, res, g):
 _conv3x3_relu_v2.defvjp(_conv3x3_relu_v2_fwd, _conv3x3_relu_v2_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv_relu_pool_frozen(x, kernel, bias, interpret):
+    """Fused ``maxpool2(relu(conv3x3 + bias))`` block tail on the Pallas
+    path (ops/head_pallas.py) with the frozen-VGG contract.
+
+    Forward: ONE kernel — no conv-output HBM round trip, no separate pool
+    pass (the trunk head is memory-bound; see the head_pallas module
+    docstring for the round-5 measurements). Backward: the composed
+    recompute (v2 conv fwd -> pool VJP -> masked flip conv), exactly what
+    the unfused trunk would have run — the forward fusion is the win, the
+    backward is unchanged until the fused-bwd kernel lands.
+    """
+    return conv_relu_pool(x, kernel, bias, interpret=interpret)
+
+
+def _crp_fwd(x, kernel, bias, interpret):
+    y = conv_relu_pool(x, kernel, bias, interpret=interpret)
+    return y, (x, kernel, bias)
+
+
+def _crp_bwd(interpret, res, g):
+    x, kernel, bias = res
+    f = lambda t: _maxpool2_raw(_conv3x3_relu_v2(  # noqa: E731
+        t, kernel, bias.astype(jnp.float32), interpret))
+    _, vjp = jax.vjp(f, x)
+    return vjp(g.astype(jnp.bfloat16))[0], jnp.zeros_like(kernel), \
+        jnp.zeros_like(bias)
+
+
+_conv_relu_pool_frozen.defvjp(_crp_fwd, _crp_bwd)
+
+
+def _fused_pool_wanted(x, kernel, precision, fused_relu, pool, name_wanted):
+    """Fuse a conv+relu+maxpool block tail into the single Pallas kernel
+    (STYLEMESH_FUSED_POOL_CONV, default on for the TPU bf16 trunk): exact
+    block-tail shapes only (Cin == Cout in {64, 128}), max pool, and the
+    conv's own activation not requested by the caller."""
+    if os.environ.get("STYLEMESH_FUSED_POOL_CONV", "1") == "0":
+        return False
+    return (fused_relu and pool == "max" and not name_wanted
+            and x.dtype == jnp.bfloat16 and kernel.dtype == jnp.bfloat16
+            and precision in (None, jax.lax.Precision.DEFAULT)
+            and x.shape[-1] == kernel.shape[-1]
+            and x.shape[-1] in (64, 128)
+            and x.shape[1] >= 2 and x.shape[2] >= 2
+            and jax.default_backend() == "tpu")
+
+
+def _im2col_wanted(x, kernel, precision, fused_relu):
+    """conv1_1's 3-wide input runs the explicit-im2col matmul
+    (ops/conv_im2col.py, STYLEMESH_CONV_IM2COL default on): XLA's conv
+    lowering runs 3->64 at 0.7% MFU (results/mfu.json)."""
+    if os.environ.get("STYLEMESH_CONV_IM2COL", "1") == "0":
+        return False
+    return (fused_relu
+            and x.dtype == jnp.bfloat16 and kernel.dtype == jnp.bfloat16
+            and precision in (None, jax.lax.Precision.DEFAULT)
+            and x.shape[-1] < 32
+            and jax.default_backend() == "tpu")
+
+
 def _v2_wanted(x, kernel, precision, fused_relu):
     """The v2 Pallas conv path (STYLEMESH_CONV_V2, default on for TPU bf16):
     exact trunk shapes only — bf16 compute, DEFAULT precision, Cin >= 32
@@ -447,13 +510,29 @@ def vgg_features(params, x, out_keys, pool="max", compute_dtype=None,
 
     outs = {}
     h = x
+    skip_pool = False
     for i, (name, conv) in enumerate(_TRUNK):
         if conv is not None:
             k = params[conv]["kernel"]
             b = params[conv]["bias"]
             if compute_dtype is not None:
                 k = k.astype(compute_dtype)
-            if _w2d_wanted(h.shape[-1], k.shape[-1]):
+            # block-tail fusion: this conv feeds straight into a pool and
+            # nobody reads its activation -> one fused Pallas kernel for
+            # conv+bias+relu+maxpool, skipping the pool step below. The
+            # fused output IS the pool's output, recorded under the pool's
+            # name when requested.
+            next_is_pool = (i + 1 < len(_TRUNK) and _TRUNK[i + 1][1] is None
+                            and i + 1 <= last_needed)
+            if (next_is_pool
+                    and _fused_pool_wanted(h, k, precision, fused_relu, pool,
+                                           name in wanted)):
+                h = _conv_relu_pool_frozen(h, k, b.astype(jnp.float32), False)
+                skip_pool = True
+                continue  # `name` (the conv activation) was not wanted
+            if _im2col_wanted(h, k, precision, fused_relu):
+                h = conv3x3_im2col(h, k, b, relu=True)
+            elif _w2d_wanted(h.shape[-1], k.shape[-1]):
                 if fused_relu:
                     h = w2d_conv3x3(h, k, b, precision, relu=True)
                 else:
@@ -465,7 +544,10 @@ def vgg_features(params, x, out_keys, pool="max", compute_dtype=None,
             else:
                 h = jax.nn.relu(_conv3x3(h, k, b, precision))
         else:
-            h = pool_fn(h)
+            if skip_pool:
+                skip_pool = False
+            else:
+                h = pool_fn(h)
         if name in wanted:
             outs[name] = h
         if i == last_needed:

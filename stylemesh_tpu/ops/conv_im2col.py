@@ -1,21 +1,21 @@
-"""conv3x3 as explicit im2col matmuls (XLA-built column tensor).
+"""Small-Cin 3x3 conv as an explicit im2col matmul (XLA-level).
 
-Round-5 finding (results/conv_v2_probe.json): on v5e, BOTH XLA's conv
-lowering and in-kernel-im2col Pallas formulations of the VGG trunk's
-sub-256-channel layers sit at ~7-13% MFU; the invariant cost is the
-one-pixel-shifted patch assembly, which in VMEM is a sublane-misaligned
-shuffle. This module moves the patch assembly to XLA in HBM — three
-dx-shifted copies concatenated on the (lane-aligned, 128-multiple) channel
-axis — and reduces the conv to three dy-sliced [M, 3C] @ [3C, D] matmuls,
-the shape the MXU actually wants. Width-2 packing (exact, see
-models/vgg.py::pack_w2d_kernel) first fills the lanes for <=64-channel
-layers.
+XLA's spatial conv lowering collapses on tiny channel counts: conv1_1
+(3->64) at level-3 runs at 0.7% MFU, 16.4 ms f+b (results/mfu.json) — the
+MXU sees a K=27 contraction but the lowering pays full-lane padding on
+every tile. Building the im2col tensor explicitly (9 shifted copies,
+[V,H,W,27]) and contracting it as ONE matmul runs near the memory roofline
+instead: the same trick measured 2.7x faster than the conv op for a 64-ch
+1x1 (tools/conv_wall_probe.py's reshape-dot row).
 
-Used by the VGG trunk (models/vgg.py) behind STYLEMESH_CONV_IM2COL; the
-frozen-VGG flip VJP reuses the same path for the input cotangent.
+The custom VJP keeps the frozen-VGG contract (zero weight/bias cotangents,
+stylemesh_tpu/models/vgg.py docstring) and transposes the im2col by 9
+shifted scatter-adds of the K-sliced cotangent — all elementwise traffic,
+no conv lowering anywhere in the backward.
 
-Reference trunk semantics: /root/reference/model/losses/
-content_and_style_losses.py:47-70 (bit-true conv3x3+bias+relu chain).
+Reference semantics: the first VGG conv in
+/root/reference/model/losses/content_and_style_losses.py:47 (conv1_1 ->
+relu); math unchanged, exact up to f32 contraction order.
 """
 
 import functools
@@ -23,82 +23,65 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from stylemesh_tpu.ops.conv_pallas import (
-    _pack_w2d_kernel_np,
-    pack_width2,
-    unpack_width2,
-)
+
+def _im2col(x):
+    """[V, H, W, C] -> [V, H, W, 9C] SAME-padded tap stack in (ky, kx, ci)
+    order — matching ``w.reshape(9C, D)`` of an HWIO kernel."""
+    v, h, wd, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = [xp[:, dy:dy + h, dx:dx + wd, :]
+            for dy in range(3) for dx in range(3)]
+    return jnp.concatenate(cols, axis=-1)
 
 
-def _im2col_dx(x):
-    """[B, H, W, C] -> [B, H+2, W, 3C]: row-padded, dx-shifted channel
-    blocks (block dx holds x[:, :, w+dx-1, :]); lane-aligned for C>=128."""
-    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    w = x.shape[2]
-    return jnp.concatenate([xpad[:, :, dx:dx + w, :] for dx in range(3)],
-                           axis=-1)
-
-
-def _conv3x3_im2col_raw(x, w, bias, relu, precision=jax.lax.Precision.DEFAULT):
-    """Core: 3 dy-sliced matmuls over the dx-im2col tensor. x: [B,H,W,C],
-    w: [3,3,C,D] HWIO, bias: [D] or None."""
-    b, h, wd, c = x.shape
+def _forward(x, w, bias, relu):
+    v, h, wd, c = x.shape
     d = w.shape[-1]
-    cols = _im2col_dx(x)  # [B, H+2, W, 3C]
-    acc = None
-    for dy in range(3):
-        m = jax.lax.dot_general(
-            cols[:, dy:dy + h].reshape(b * h * wd, 3 * c),
-            w[dy].reshape(3 * c, d).astype(x.dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=precision,
-            preferred_element_type=jnp.float32)
-        acc = m if acc is None else acc + m
-    if bias is not None:
-        acc = acc + bias.astype(jnp.float32)[None, :]
+    xc = _im2col(x)
+    y = jax.lax.dot_general(
+        xc, w.reshape(9 * c, d).astype(xc.dtype),
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + bias.astype(jnp.float32)
     if relu:
-        acc = jnp.maximum(acc, 0.0)
-    return acc.reshape(b, h, wd, d).astype(x.dtype)
-
-
-def conv3x3_im2col(x, w, bias=None, relu=False,
-                   precision=jax.lax.Precision.DEFAULT):
-    """3x3 stride-1 SAME conv via XLA im2col matmuls, optionally width-2
-    packed (exact) to fill the 128 lanes when min(Cin, Cout) < 128.
-
-    Forward-only: wrap with the frozen-VGG custom VJP at the call site.
-    """
-    cin = x.shape[-1]
-    cout = w.shape[-1]
-    wdt = x.shape[2]
-    if min(cin, cout) < 128 and cin >= 16:
-        xp = pack_width2(x)
-        wp = _pack_w2d_kernel_np(w)
-        bp = None if bias is None else jnp.concatenate([bias, bias])
-        yp = _conv3x3_im2col_raw(xp, wp, bp, relu, precision)
-        return unpack_width2(yp, wdt)
-    return _conv3x3_im2col_raw(x, w, bias, relu, precision)
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def conv3x3_relu_im2col(x, kernel, bias, _unused=None):
-    """Fused conv3x3+bias+relu on the im2col path with the frozen-VGG
-    single-residual flip VJP (mask from the output; dx = flipped-kernel
-    conv of the masked cotangent; zero weight/bias cotangents)."""
-    return conv3x3_im2col(x, kernel, bias, relu=True)
+def conv3x3_im2col(x, w, bias, relu=True):
+    """3x3 SAME conv (+bias, optional fused relu) via explicit im2col.
+
+    Intended for tiny Cin (conv1_1's 3): the im2col tensor is 9*Cin wide,
+    so the materialization cost scales with Cin — do not use past ~32.
+    Frozen weights: dw/db cotangents are zeros by design.
+    """
+    return _forward(x, w, bias, relu)
 
 
-def _conv3x3_relu_im2col_fwd(x, kernel, bias, _unused):
-    y = conv3x3_relu_im2col(x, kernel, bias, _unused)
-    return y, (y, kernel, bias)
+def _fwd(x, w, bias, relu):
+    y = _forward(x, w, bias, relu)
+    return y, (y, x.shape, w, bias)
 
 
-def _conv3x3_relu_im2col_bwd(_unused, res, g):
-    y, kernel, bias = res
-    g = jnp.where(y > 0, g, jnp.zeros((), g.dtype)).astype(y.dtype)
-    kt = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)
-    dx = conv3x3_im2col(g, kt, relu=False)
-    return dx, jnp.zeros_like(kernel), jnp.zeros_like(bias)
+def _bwd(relu, res, g):
+    y, x_shape, w, bias = res
+    v, h, wd, c = x_shape
+    d = w.shape[-1]
+    if relu:
+        # mask from the OUTPUT (exact: relu output is 0 iff pre-act <= 0)
+        g = jnp.where(y > 0, g, jnp.zeros((), g.dtype))
+    dxc = jax.lax.dot_general(
+        g, w.reshape(9 * c, d).astype(g.dtype),
+        dimension_numbers=(((3,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [V, H, W, 9C]
+    dxp = jnp.zeros((v, h + 2, wd + 2, c), jnp.float32)
+    for t in range(9):
+        dy, dx = divmod(t, 3)
+        dxp = dxp.at[:, dy:dy + h, dx:dx + wd, :].add(
+            dxc[..., t * c:(t + 1) * c])
+    dx = dxp[:, 1:1 + h, 1:1 + wd, :].astype(g.dtype)
+    return dx, jnp.zeros_like(w), jnp.zeros_like(bias)
 
 
-conv3x3_relu_im2col.defvjp(_conv3x3_relu_im2col_fwd, _conv3x3_relu_im2col_bwd)
+conv3x3_im2col.defvjp(_fwd, _bwd)
