@@ -25,7 +25,7 @@ import numpy as np
 
 from stylemesh_tpu.ops.conv_im2col import conv3x3_im2col
 from stylemesh_tpu.ops.conv_pallas import conv3x3_frozen
-from stylemesh_tpu.ops.head_pallas import conv_relu_pool
+from stylemesh_tpu.ops.head_pallas import conv_relu_pool, conv_relu_pool_bwd
 
 # (name, in_channels, out_channels) for the 13 convs of VGG-16 in trunk order.
 VGG_CONVS = [
@@ -299,6 +299,13 @@ def _crp_fwd(x, kernel, bias, interpret):
 
 def _crp_bwd(interpret, res, g):
     x, kernel, bias = res
+    if (kernel.shape[-1] == 64
+            and os.environ.get("STYLEMESH_FUSED_POOL_BWD", "1") != "0"):
+        # single fused kernel: recompute conv+relu in-tile (bit-identical
+        # contraction split -> identical pool routing), first-max + relu
+        # mask, transposed conv — no r/dr HBM round trips.
+        dx = conv_relu_pool_bwd(x, kernel, bias, g, interpret=interpret)
+        return dx, jnp.zeros_like(kernel), jnp.zeros_like(bias)
     f = lambda t: _maxpool2_raw(_conv3x3_relu_v2(  # noqa: E731
         t, kernel, bias.astype(jnp.float32), interpret))
     _, vjp = jax.vjp(f, x)

@@ -162,6 +162,170 @@ def _kernel_direct(th, tw, nh, nw,
     out_ref[0] = jnp.max(r, axis=2)            # col pairs
 
 
+def _kernel_packed_bwd(th, tw, nh, nw,
+                       x_hbm, g_hbm, w_ref, kt_ref, b_ref, out_ref,
+                       x_buf, g_buf, col1, col2, xsems, gsems):
+    """64-ch packed block-tail BACKWARD: one kernel for
+    d(pool(relu(conv(x)+b)))/dx given the pooled cotangent g.
+
+    Per pooled-output tile (th, tw packed cols): recompute the conv+relu
+    activation r on a 1-ring-expanded region from x (same contraction
+    split as the forward kernel -> bit-identical r -> identical argmax
+    routing), route g through the pool's first-max rule and the relu mask,
+    then apply the transposed conv (flip+io-swap packed kernel) — reading
+    x and g once and writing only dx. No r/dr HBM round trips.
+
+    Region bookkeeping (packed-col coords relative to the tile):
+      dx rows [0, 2th) cols [0, tw)   <- dr rows [-1, 2th+1) cols [-1, tw+1)
+      dr  <- g rows [-1, th+1) cols [-1, tw+1)  and r on the same region
+      r rows [-2, 2th+2) cols [-1, tw+1) <- x rows [-3, 2th+3) cols [-2, tw+2)
+    The wrapper pads x 3 rows top / 8 packed cols left, g 1 row top / 8
+    cols left, so all DMA starts stay aligned.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    linear = (b * nh + i) * nw + j
+    n_total = pl.num_programs(0) * nh * nw
+
+    def loads(lin, slot):
+        bb = lin // (nh * nw)
+        ii = (lin // nw) % nh
+        jj = lin % nw
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(ii * 2 * th, 2 * th + 6),
+                         pl.ds(jj * tw, tw + 16), :],
+                x_buf.at[slot], xsems.at[slot]),
+            pltpu.make_async_copy(
+                g_hbm.at[bb, pl.ds(ii * th, th + 2),
+                         pl.ds(jj * tw, tw + 16), :],
+                g_buf.at[slot], gsems.at[slot]),
+        )
+
+    @pl.when(linear == 0)
+    def _():
+        for c in loads(0, 0):
+            c.start()
+
+    @pl.when(linear + 1 < n_total)
+    def _():
+        for c in loads(linear + 1, (linear + 1) % 2):
+            c.start()
+
+    slot = linear % 2
+    for c in loads(linear, slot):
+        c.wait()
+
+    # ---- recompute r = relu(conv(x)+b) on rows [-2, 2th+2), cols [-1, tw+1)
+    # x buffer col 8 == packed col 0, so conv input col (q-1+dx) for output
+    # col index q_idx (= q+1, q in [-1, tw+1)) sits at buffer col q_idx+6+dx.
+    for dx in range(3):
+        col1[:, :, dx * 128:(dx + 1) * 128] = (
+            x_buf[slot, :, 6 + dx:6 + dx + tw + 2, :])
+    acc = None
+    for dy in range(3):
+        part = jax.lax.dot_general(
+            col1[dy:dy + 2 * th + 4, :, :].reshape((2 * th + 4) * (tw + 2),
+                                                   3 * 128),
+            w_ref[dy * 3 * 128:(dy + 1) * 3 * 128, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    r = jnp.maximum(acc + b_ref[0][None, :], 0.0).astype(jnp.bfloat16)
+    r = r.reshape(th + 2, 2, tw + 2, 128)
+
+    # ---- pool backward: first-max routing in (row, col) raster order,
+    # relu mask folded in (a routed-to zero activation gets no gradient)
+    a = r[:, 0, :, :64]
+    bq = r[:, 0, :, 64:]
+    c2 = r[:, 1, :, :64]
+    d = r[:, 1, :, 64:]
+    p = jnp.maximum(jnp.maximum(a, bq), jnp.maximum(c2, d))
+    one = jnp.ones((), jnp.bfloat16)
+    zero = jnp.zeros((), jnp.bfloat16)
+    ia = jnp.where((a == p) & (a > 0), one, zero)
+    ib = jnp.where((bq == p) & (bq > 0) & (ia == 0), one, zero)
+    ic = jnp.where((c2 == p) & (c2 > 0) & (ia == 0) & (ib == 0), one, zero)
+    idd = jnp.where((d == p) & (d > 0) & (ia == 0) & (ib == 0) & (ic == 0),
+                    one, zero)
+    gs = g_buf[slot, :, 7:7 + tw + 2, :]  # cols [-1, tw+1)
+    row0 = jnp.concatenate([gs * ia, gs * ib], axis=-1)
+    row1 = jnp.concatenate([gs * ic, gs * idd], axis=-1)
+    dr = jnp.stack([row0, row1], axis=1).reshape(2 * th + 4, tw + 2, 128)
+
+    # ---- transposed conv: dx[s, q] = sum_dy,dx dr[s-1+dy, q-1+dx] ktp
+    for dx in range(3):
+        col2[:, :, dx * 128:(dx + 1) * 128] = dr[:, dx:dx + tw, :]
+    acc = None
+    for dy in range(3):
+        # dr block row 0 is tile row -2, so dx row s reads dr rows
+        # s-1+dy -> block index s+1+dy
+        part = jax.lax.dot_general(
+            col2[dy + 1:dy + 1 + 2 * th, :, :].reshape(2 * th * tw, 3 * 128),
+            kt_ref[dy * 3 * 128:(dy + 1) * 3 * 128, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    out_ref[0] = acc.reshape(2 * th, tw, 128).astype(out_ref.dtype)
+
+
+def conv_relu_pool_bwd(x, w, bias, g, interpret=False):
+    """Input gradient of :func:`conv_relu_pool` (64-ch packed path only) as
+    one fused Pallas kernel. ``g``: ``[V, H//2, W//2, C]`` cotangent.
+    Returns ``dx [V, H, W, C]`` bf16."""
+    v, h, wdt, c = x.shape
+    assert c == 64, c
+    h2, w2 = h // 2, wdt // 2
+    x = x.astype(jnp.bfloat16)
+    g = g.astype(jnp.bfloat16)
+    # grid over CEIL half-sizes: odd-tail rows/cols receive gradient (they
+    # feed the last kept conv output as halo) even though they never appear
+    # in the pooled output — the g padding is zero there, so the extra
+    # windows route nothing but the transposed conv still covers the tail.
+    th, tw, nh, nw = _pick_out_tile(-(-h // 2), -(-wdt // 2))
+
+    xp = jnp.pad(x, ((0, 0), (3, 2 * th * nh - h + 3),
+                     (16, 2 * tw * nw + 16 - wdt), (0, 0)))
+    xp = xp.reshape(v, xp.shape[1], tw * nw + 16, 128)
+    gp = jnp.pad(g, ((0, 0), (1, th * nh - h2 + 1),
+                     (8, tw * nw + 16 - w2 - 8), (0, 0)))
+    w2d = _pack_w2d(w.astype(jnp.bfloat16)).reshape(9 * 128, 128)
+    kt = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    kt2d = _pack_w2d(kt.astype(jnp.bfloat16)).reshape(9 * 128, 128)
+    b2 = jnp.concatenate([bias, bias]).astype(jnp.float32).reshape(1, 128)
+
+    kernel = functools.partial(_kernel_packed_bwd, th, tw, nh, nw)
+    out = pl.pallas_call(
+        kernel,
+        grid=(v, nh, nw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9 * 128, 128), lambda b, i, j: (0, 0)),
+            pl.BlockSpec((9 * 128, 128), lambda b, i, j: (0, 0)),
+            pl.BlockSpec((1, 128), lambda b, i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * th, tw, 128),
+                               lambda b, i, j: (b, i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((v, 2 * th * nh, tw * nw, 128),
+                                       jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * th + 6, tw + 16, 128), jnp.bfloat16),
+            pltpu.VMEM((2, th + 2, tw + 16, 64), jnp.bfloat16),
+            pltpu.VMEM((2 * th + 6, tw + 2, 3 * 128), jnp.bfloat16),
+            pltpu.VMEM((2 * th + 4, tw, 3 * 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, gp, w2d, kt2d, b2)
+    dx = out.reshape(v, 2 * th * nh, 2 * tw * nw, 64)
+    return dx[:, :h, :wdt, :]
+
+
 def _pack_w2d(kernel):
     """[3,3,C,D] -> [3,3,2C,2D] phase-block kernel (twin of
     models/vgg.py::pack_w2d_kernel, duplicated against an import cycle)."""

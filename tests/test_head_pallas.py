@@ -93,6 +93,32 @@ def test_conv_relu_pool_frozen_grad_parity(c):
     assert bad.mean() < 2e-3, f"{bad.mean():.4f} of grads disagree"
 
 
+@pytest.mark.parametrize("shape", [(1, 24, 26, 64), (2, 30, 33, 64)])
+def test_conv_relu_pool_bwd_kernel_matches_composed(shape):
+    """The fused backward kernel must match the composed backward
+    (v2-conv recompute -> pool VJP -> masked flip conv) bit-for-bit: the
+    in-kernel recompute uses the identical contraction split, so the pool
+    routing and the transposed conv see the same bf16 values."""
+    from stylemesh_tpu.models.vgg import _conv3x3_relu_v2, _maxpool2_raw
+    from stylemesh_tpu.ops.head_pallas import conv_relu_pool_bwd
+
+    rng = np.random.default_rng(7)
+    v, h, wdt, c = shape
+    x = jnp.asarray(rng.normal(0, 1, (v, h, wdt, c)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(0, 0.05, (3, 3, c, c)), jnp.bfloat16)
+    b = jnp.asarray(rng.normal(0, 0.05, (c,)), jnp.float32)
+    g = jnp.asarray(rng.normal(0, 1, (v, h // 2, wdt // 2, c)), jnp.bfloat16)
+
+    def composed(t):
+        return _maxpool2_raw(_conv3x3_relu_v2(t, w, b, True))
+
+    _, vjp = jax.vjp(composed, x)
+    want = vjp(g)[0]
+    got = conv_relu_pool_bwd(x, w, b, g, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
 def test_conv_relu_pool_rejects_bad_channels():
     x = jnp.zeros((1, 8, 8, 32), jnp.bfloat16)
     w = jnp.zeros((3, 3, 32, 32), jnp.bfloat16)

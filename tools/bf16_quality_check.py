@@ -5,6 +5,9 @@ init and prints the loss trajectories + final relative gap. Justifies (or
 vetoes) bf16 kernels as the bench/production default.
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import sys
 

@@ -3,6 +3,9 @@
 Usage: python tools/conv_kernel_check.py
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import time
 

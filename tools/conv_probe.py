@@ -6,6 +6,9 @@ matmul accumulation, wider channel counts, and a fused block-1.
 Usage: python tools/conv_probe.py
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import time
 

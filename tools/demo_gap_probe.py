@@ -10,6 +10,9 @@ gather/splat recomputation (if any) is visible directly.
 Usage: ANATOMY_DEMO=1 python tools/demo_gap_probe.py [V]
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import sys
 import time

@@ -4,6 +4,9 @@ different window choices (auto v4 pick vs v3-style aligned sizes).
 Usage: python tools/demo_kernel_ab.py
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import time
 

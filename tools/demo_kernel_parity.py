@@ -7,6 +7,9 @@ dead-grid bugs rather than speed).
 Usage: python tools/demo_kernel_parity.py [V]
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import sys
 

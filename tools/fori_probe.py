@@ -5,6 +5,9 @@ python-loop dispatch pattern the bench/training loop uses.
 Usage: python tools/fori_probe.py [V] [N]
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import sys
 import time

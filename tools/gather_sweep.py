@@ -3,6 +3,9 @@ window perimeter (one-hot builds), or DMA. Times gather_pallas at the L3
 bench level with forced region sizes. Usage: python tools/gather_sweep.py
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import time
 

@@ -4,6 +4,9 @@ style-loss shapes that dominate (r11/r21 at the large pyramid levels).
 Usage: python tools/gram_kernel_check.py
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import time
 

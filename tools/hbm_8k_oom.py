@@ -17,6 +17,9 @@ line either way: {"config", "fits", "error"}.
 Usage (real chip): python tools/hbm_8k_oom.py [views]
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import json
 import os
 import sys

@@ -4,6 +4,9 @@ peak temp allocation, argument/output sizes — with remat on vs off.
 Usage: python tools/hbm_probe.py [V]
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import sys
 

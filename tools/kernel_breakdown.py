@@ -7,6 +7,9 @@ tools/plan_stats.py say entry counts; this says milliseconds).
 Usage: ANATOMY_DEMO=1 python tools/kernel_breakdown.py [V]
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import sys
 import time

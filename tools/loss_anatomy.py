@@ -9,6 +9,9 @@ The 3-1 and 4-2 gaps are the non-conv loss overhead. Usage:
   python tools/loss_anatomy.py [V]  (STYLEMESH_FAST_CONV=0 to pin XLA convs)
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import sys
 import time

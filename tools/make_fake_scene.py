@@ -1,4 +1,7 @@
 """Build a fake ScanNet-layout scene for end-to-end CLI verification."""
+
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
 import sys
 
 import numpy as np

@@ -18,6 +18,9 @@ without an MFU number". This tool commits that number:
 Usage: python tools/mfu_probe.py [V]   (default 4; writes results/mfu.json)
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import json
 import os
 import sys

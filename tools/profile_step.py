@@ -13,6 +13,9 @@ as its own jitted function so the step anatomy is measured, not guessed:
 Usage: python tools/profile_step.py [V]
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import sys
 import time

@@ -4,6 +4,9 @@ is the v4 per-run roll cheap or does it dominate seam-scene runs?
 Usage: python tools/roll_probe.py
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import functools
 import os
 import time

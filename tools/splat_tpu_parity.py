@@ -3,6 +3,9 @@ path (grid_sample / scatter-add). Catches DMA-ordering races the CPU
 interpret tests cannot. Usage: python tools/splat_tpu_parity.py
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/stylemesh_tpu/jax_comp_cache"))

@@ -6,6 +6,9 @@ trace alone cannot split kernel vs VGG time — wall-clocking compiled
 sub-graphs can. Usage: python tools/step_anatomy.py [V]
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import sys
 import time

@@ -5,6 +5,9 @@ fusions to loss components.
 Usage: python tools/trace_loss_grad.py [V]
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import glob
 import gzip
 import json

@@ -4,6 +4,9 @@ by total device time (parsed from the trace protobuf/json — no TensorBoard).
 Usage: python tools/trace_step.py [V] [outdir]
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import glob
 import gzip
 import json

@@ -6,6 +6,9 @@ SelectAndScatter in maxpool backward, conv1_1's 3-channel input).
 Usage: python tools/vgg_anatomy.py [V]
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import sys
 import time

@@ -18,6 +18,9 @@ Reference anchor: one view per step on one GPU, model/optimize.py — the
 reference has no multi-GPU path at all (SURVEY.md §2.6).
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import json
 import os
 import sys

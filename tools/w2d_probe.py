@@ -23,6 +23,9 @@ Usage: python tools/w2d_probe.py   (prints per-layer A/B, writes
 results/w2d_probe.json)
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import json
 import os
 import time

@@ -8,6 +8,9 @@ Usage: python tools/window_sweep.py [pairs]
          default sweeps the known offenders.
 """
 
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 import os
 import sys
 import time
