@@ -128,6 +128,7 @@ def _bench_cfg(batch_views):
     from stylemesh_tpu.models.pipeline import PipelineConfig
 
     return PipelineConfig(
+        steps_per_epoch=1,
         texture_width=4096, texture_height=4096, hierarchical_layers=4,
         use_angle_weight=True, use_depth_scaling=True,
         content_weight=7e1, style_weight=1e-4, tex_reg_weight=5e3,

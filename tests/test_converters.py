@@ -17,6 +17,11 @@ from os.path import dirname, join
 import numpy as np
 import pytest
 
+# whole-file slow mark: 283s on this 1-core image (measured
+# round 5, /tmp/test_times.log methodology); the default gate
+# deselects via pytest.ini addopts -m "not slow".
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 REPO = dirname(dirname(__file__))

@@ -12,6 +12,11 @@ from stylemesh_tpu.models.vgg import init_vgg_params
 from stylemesh_tpu.parallel.mesh import make_mesh
 from stylemesh_tpu.parallel.train import ShardedTexturePipeline
 
+# whole-file slow mark: 379s on this 1-core image (measured
+# round 5, /tmp/test_times.log methodology); the default gate
+# deselects via pytest.ini addopts -m "not slow".
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(41)
 
 

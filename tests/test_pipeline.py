@@ -12,6 +12,12 @@ from stylemesh_tpu.models.pipeline import PipelineConfig, TexturePipeline
 from stylemesh_tpu.models.texture import Texture
 from stylemesh_tpu.models.vgg import init_vgg_params
 from tests.torch_reference import RefLoss, ref_pipeline_grads, torch_params_from_jax
+import pytest
+
+# whole-file slow mark: 336s on this 1-core image (measured
+# round 5, /tmp/test_times.log methodology); the default gate
+# deselects via pytest.ini addopts -m "not slow".
+pytestmark = pytest.mark.slow
 
 RNG = np.random.default_rng(11)
 

@@ -53,6 +53,11 @@ from stylemesh_tpu.models.vgg import init_vgg_params
 from stylemesh_tpu.ops.color import gatys_post
 from stylemesh_tpu.optimize import render_styled_frames
 
+# whole-file slow mark: 930s on this 1-core image (measured
+# round 5, /tmp/test_times.log methodology); the default gate
+# deselects via pytest.ini addopts -m "not slow".
+pytestmark = pytest.mark.slow
+
 
 def _scene_cache(root, texture, view_hw, heights, resize, frame_hook=None,
                  n_views=6):

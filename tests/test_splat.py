@@ -14,6 +14,12 @@ from stylemesh_tpu.ops.splat_pallas import (
     splat_with_residual,
 )
 from stylemesh_tpu.ops.splat_plan import plan_arrays_for_views
+import pytest
+
+# whole-file slow mark: 115s on this 1-core image (measured
+# round 5, /tmp/test_times.log methodology); the default gate
+# deselects via pytest.ini addopts -m "not slow".
+pytestmark = pytest.mark.slow
 
 RNG = np.random.default_rng(71)
 

@@ -72,6 +72,7 @@ def compile_once(jitted, *args):
 def main():
     peak_flops, peak_hbm = device_peaks()
     cfg = PipelineConfig(
+        steps_per_epoch=1,
         texture_width=4096, texture_height=4096, hierarchical_layers=4,
         use_angle_weight=True, use_depth_scaling=True,
         content_weight=7e1, style_weight=1e-4, tex_reg_weight=5e3,
