@@ -25,7 +25,9 @@ import numpy as np
 
 from stylemesh_tpu.ops.conv_im2col import conv3x3_im2col
 from stylemesh_tpu.ops.conv_pallas import conv3x3_frozen
-from stylemesh_tpu.ops.head_pallas import conv_relu_pool, conv_relu_pool_bwd
+from stylemesh_tpu.ops.head_pallas import (conv_relu_pool,
+                                            conv_relu_pool_bwd,
+                                            conv_relu_pool_dual)
 
 # (name, in_channels, out_channels) for the 13 convs of VGG-16 in trunk order.
 VGG_CONVS = [
@@ -284,26 +286,45 @@ def _conv_relu_pool_frozen(x, kernel, bias, interpret):
 
     Forward: ONE kernel — no conv-output HBM round trip, no separate pool
     pass (the trunk head is memory-bound; see the head_pallas module
-    docstring for the round-5 measurements). Backward: the composed
-    recompute (v2 conv fwd -> pool VJP -> masked flip conv), exactly what
-    the unfused trunk would have run — the forward fusion is the win, the
-    backward is unchanged until the fused-bwd kernel lands.
+    docstring for the round-5 measurements). Backward, 64-ch: one fused
+    kernel (in-tile conv recompute, first-max + relu-mask routing,
+    transposed phase-block conv). Backward, 128-ch: the forward emits the
+    pre-pool activation as a second output and the VJP reuses it (pool VJP
+    + masked flip conv) — the earlier recompute-based composed backward
+    cost more than the forward fusion saved (round-5 flag A/B: step 390.8
+    -> 399.3 ms), the saved residual removes exactly that recompute.
     """
-    return conv_relu_pool(x, kernel, bias, interpret=interpret)
+    if kernel.shape[-1] == 64:
+        return conv_relu_pool(x, kernel, bias, interpret=interpret)
+    return conv_relu_pool_dual(x, kernel, bias, interpret=interpret)[0]
 
 
 def _crp_fwd(x, kernel, bias, interpret):
-    y = conv_relu_pool(x, kernel, bias, interpret=interpret)
-    return y, (x, kernel, bias)
+    if kernel.shape[-1] == 64:
+        y = conv_relu_pool(x, kernel, bias, interpret=interpret)
+        return y, (x, kernel, bias, None)
+    y, pre = conv_relu_pool_dual(x, kernel, bias, interpret=interpret)
+    return y, (None, kernel, bias, pre)
 
 
 def _crp_bwd(interpret, res, g):
-    x, kernel, bias = res
-    if (kernel.shape[-1] == 64
-            and os.environ.get("STYLEMESH_FUSED_POOL_BWD", "1") != "0"):
-        # single fused kernel: recompute conv+relu in-tile (bit-identical
-        # contraction split -> identical pool routing), first-max + relu
-        # mask, transposed conv — no r/dr HBM round trips.
+    x, kernel, bias, pre = res
+    if pre is not None:
+        # 128-ch: pool VJP from the saved pre-pool activation, then the
+        # relu-masked flipped-kernel conv on the v2 path
+        from stylemesh_tpu.ops.conv_pallas import conv3x3_v2
+
+        _, pool_vjp = jax.vjp(_maxpool2_raw, pre)
+        (dr,) = pool_vjp(g.astype(pre.dtype))
+        dr = jnp.where(pre > 0, dr, jnp.zeros((), dr.dtype))
+        kt = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)
+        dx = conv3x3_v2(dr.astype(jnp.bfloat16), kt, relu=False,
+                        interpret=interpret)
+        return dx, jnp.zeros_like(kernel), jnp.zeros_like(bias)
+    if os.environ.get("STYLEMESH_FUSED_POOL_BWD", "1") != "0":
+        # 64-ch: single fused kernel — recompute conv+relu in-tile
+        # (bit-identical contraction split -> identical pool routing),
+        # first-max + relu mask, transposed conv; no r/dr HBM round trips.
         dx = conv_relu_pool_bwd(x, kernel, bias, g, interpret=interpret)
         return dx, jnp.zeros_like(kernel), jnp.zeros_like(bias)
     f = lambda t: _maxpool2_raw(_conv3x3_relu_v2(  # noqa: E731

@@ -162,6 +162,105 @@ def _kernel_direct(th, tw, nh, nw,
     out_ref[0] = jnp.max(r, axis=2)            # col pairs
 
 
+def _kernel_direct_dual(th, tw, nh, nw,
+                        x_hbm, w_ref, b_ref, out_ref, pre_ref,
+                        in_buf, col, sems):
+    """128-ch direct path emitting BOTH the pooled map and the pre-pool
+    conv+relu activation. The extra write costs one activation-sized HBM
+    pass; the custom VJP then reuses it instead of recomputing the conv in
+    the backward (the composed recompute cost more than the forward fusion
+    saved — measured as a net step regression in the round-5 flag A/B)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    linear = (b * nh + i) * nw + j
+    n_total = pl.num_programs(0) * nh * nw
+
+    def start_load(lin, slot):
+        bb = lin // (nh * nw)
+        ii = (lin // nw) % nh
+        jj = lin % nw
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * 2 * th, 2 * th + 2),
+                     pl.ds(jj * 2 * tw, 2 * tw + 16), :],
+            in_buf.at[slot], sems.at[slot])
+
+    @pl.when(linear == 0)
+    def _():
+        start_load(0, 0).start()
+
+    @pl.when(linear + 1 < n_total)
+    def _():
+        start_load(linear + 1, (linear + 1) % 2).start()
+
+    slot = linear % 2
+    start_load(linear, slot).wait()
+
+    for dx in range(3):
+        col[:, :, dx * 128:(dx + 1) * 128] = (
+            in_buf[slot, :, 7 + dx:7 + dx + 2 * tw, :])
+
+    acc = None
+    for dy in range(3):
+        part = jax.lax.dot_general(
+            col[dy:dy + 2 * th, :, :].reshape(2 * th * 2 * tw, 3 * 128),
+            w_ref[dy * 3 * 128:(dy + 1) * 3 * 128, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    acc = acc + b_ref[0][None, :]
+    r = jnp.maximum(acc, 0.0).astype(jnp.bfloat16)
+    r = r.reshape(2 * th, 2 * tw, 128)
+    pre_ref[0] = r
+    r2 = r.reshape(th, 2, 2 * tw, 128)
+    r2 = jnp.max(r2, axis=1)
+    r2 = r2.reshape(th, tw, 2, 128)
+    out_ref[0] = jnp.max(r2, axis=2)
+
+
+def conv_relu_pool_dual(x, w, bias, interpret=False):
+    """128-ch fused block tail returning ``(pooled, pre_pool)`` — the
+    pre-pool conv+relu activation doubles as the backward's residual."""
+    v, h, wdt, c = x.shape
+    assert c == 128, c
+    h2, w2 = h // 2, wdt // 2
+    x = x.astype(jnp.bfloat16)
+    th, tw, nh, nw = _pick_out_tile(h2, w2)
+    xp = jnp.pad(x, ((0, 0), (1, 2 * th * nh - h + 1),
+                     (8, 2 * tw * nw - wdt + 8), (0, 0)))
+    wf = w.astype(jnp.bfloat16).reshape(9 * 128, 128)
+    bf = bias.astype(jnp.float32).reshape(1, 128)
+    kernel = functools.partial(_kernel_direct_dual, th, tw, nh, nw)
+    out, pre = pl.pallas_call(
+        kernel,
+        grid=(v, nh, nw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9 * 128, 128), lambda b, i, j: (0, 0)),
+            pl.BlockSpec((1, 128), lambda b, i, j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, tw, 128), lambda b, i, j: (b, i, j, 0)),
+            pl.BlockSpec((1, 2 * th, 2 * tw, 128),
+                         lambda b, i, j: (b, i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((v, th * nh, tw * nw, 128), jnp.bfloat16),
+            jax.ShapeDtypeStruct((v, 2 * th * nh, 2 * tw * nw, 128),
+                                 jnp.bfloat16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * th + 2, 2 * tw + 16, 128), jnp.bfloat16),
+            pltpu.VMEM((2 * th + 2, 2 * tw, 3 * 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, wf, bf)
+    return out[:, :h2, :w2, :], pre[:, :h, :wdt, :]
+
+
 def _kernel_packed_bwd(th, tw, nh, nw,
                        x_hbm, g_hbm, w_ref, kt_ref, b_ref, out_ref,
                        x_buf, g_buf, col1, col2, xsems, gsems):

@@ -119,6 +119,30 @@ def test_conv_relu_pool_bwd_kernel_matches_composed(shape):
                                   np.asarray(want, np.float32))
 
 
+def test_conv_relu_pool_dual_outputs():
+    """The dual 128-ch kernel's pooled output must equal the single-output
+    kernel's, and its pre-pool output must equal the reference conv+relu."""
+    from stylemesh_tpu.ops.head_pallas import conv_relu_pool_dual
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(0, 1, (2, 26, 30, 128)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(0, 0.05, (3, 3, 128, 128)), jnp.bfloat16)
+    b = jnp.asarray(rng.normal(0, 0.05, (128,)), jnp.float32)
+    pooled, pre = conv_relu_pool_dual(x, w, b, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(pooled, np.float32),
+        np.asarray(conv_relu_pool(x, w, b, interpret=True), np.float32))
+    ref_pre = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    ref_pre = jnp.maximum(ref_pre + b, 0.0).astype(jnp.bfloat16)
+    g = np.asarray(pre, np.float32)
+    t = np.asarray(ref_pre, np.float32)
+    bad = np.abs(g - t) > (0.02 + 0.02 * np.abs(t))
+    assert bad.mean() < 1e-3
+
+
 def test_conv_relu_pool_rejects_bad_channels():
     x = jnp.zeros((1, 8, 8, 32), jnp.bfloat16)
     w = jnp.zeros((3, 3, 32, 32), jnp.bfloat16)
