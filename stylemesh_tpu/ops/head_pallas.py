@@ -336,21 +336,33 @@ def _kernel_packed_bwd(th, tw, nh, nw,
 
     # ---- pool backward: first-max routing in (row, col) raster order,
     # relu mask folded in (a routed-to zero activation gets no gradient)
-    a = r[:, 0, :, :64]
-    bq = r[:, 0, :, 64:]
-    c2 = r[:, 1, :, :64]
-    d = r[:, 1, :, 64:]
+    # comparisons run in f32: Mosaic/v5e has no bf16 cmpf ("Target does not
+    # support this comparison"), and bf16->f32 is exact so the routing is
+    # bit-identical to comparing the bf16 activations directly
+    a = r[:, 0, :, :64].astype(jnp.float32)
+    bq = r[:, 0, :, 64:].astype(jnp.float32)
+    c2 = r[:, 1, :, :64].astype(jnp.float32)
+    d = r[:, 1, :, 64:].astype(jnp.float32)
     p = jnp.maximum(jnp.maximum(a, bq), jnp.maximum(c2, d))
+    ma = (a == p) & (a > 0)
+    mb = (bq == p) & (bq > 0) & ~ma
+    mc = (c2 == p) & (c2 > 0) & ~ma & ~mb
+    md = (d == p) & (d > 0) & ~ma & ~mb & ~mc
     one = jnp.ones((), jnp.bfloat16)
     zero = jnp.zeros((), jnp.bfloat16)
-    ia = jnp.where((a == p) & (a > 0), one, zero)
-    ib = jnp.where((bq == p) & (bq > 0) & (ia == 0), one, zero)
-    ic = jnp.where((c2 == p) & (c2 > 0) & (ia == 0) & (ib == 0), one, zero)
-    idd = jnp.where((d == p) & (d > 0) & (ia == 0) & (ib == 0) & (ic == 0),
-                    one, zero)
-    gs = g_buf[slot, :, 7:7 + tw + 2, :]  # cols [-1, tw+1)
-    row0 = jnp.concatenate([gs * ia, gs * ib], axis=-1)
-    row1 = jnp.concatenate([gs * ic, gs * idd], axis=-1)
+    ia = jnp.where(ma, one, zero)
+    ib = jnp.where(mb, one, zero)
+    ic = jnp.where(mc, one, zero)
+    idd = jnp.where(md, one, zero)
+    # g rides lane-DUPLICATED ([g|g], 128 lanes): Mosaic requires manual
+    # HBM DMA slices to be 128-aligned on the minor dim, so a 64-lane gp
+    # cannot be window-copied (the round-5 mfu_probe/bench Mosaic failure:
+    # "Slice shape along dimension 3 must be aligned to tiling (128), but
+    # is 64"). The duplicate halves also line up with the packed-dr lane
+    # layout, so routing is one multiply against the concatenated masks.
+    gs = g_buf[slot, :, 7:7 + tw + 2, :]  # cols [-1, tw+1), [g|g] lanes
+    row0 = gs * jnp.concatenate([ia, ib], axis=-1)
+    row1 = gs * jnp.concatenate([ic, idd], axis=-1)
     dr = jnp.stack([row0, row1], axis=1).reshape(2 * th + 4, tw + 2, 128)
 
     # ---- transposed conv: dx[s, q] = sum_dy,dx dr[s-1+dy, q-1+dx] ktp
@@ -387,8 +399,11 @@ def conv_relu_pool_bwd(x, w, bias, g, interpret=False):
     xp = jnp.pad(x, ((0, 0), (3, 2 * th * nh - h + 3),
                      (16, 2 * tw * nw + 16 - wdt), (0, 0)))
     xp = xp.reshape(v, xp.shape[1], tw * nw + 16, 128)
-    gp = jnp.pad(g, ((0, 0), (1, th * nh - h2 + 1),
-                     (8, tw * nw + 16 - w2 - 8), (0, 0)))
+    # lane-duplicate g to 128 (see the routing comment in the kernel: 64-lane
+    # HBM arrays cannot be manually window-DMA'd)
+    gp = jnp.pad(jnp.concatenate([g, g], axis=-1),
+                 ((0, 0), (1, th * nh - h2 + 1),
+                  (8, tw * nw + 16 - w2 - 8), (0, 0)))
     w2d = _pack_w2d(w.astype(jnp.bfloat16)).reshape(9 * 128, 128)
     kt = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
     kt2d = _pack_w2d(kt.astype(jnp.bfloat16)).reshape(9 * 128, 128)
@@ -411,7 +426,7 @@ def conv_relu_pool_bwd(x, w, bias, g, interpret=False):
                                        jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((2, 2 * th + 6, tw + 16, 128), jnp.bfloat16),
-            pltpu.VMEM((2, th + 2, tw + 16, 64), jnp.bfloat16),
+            pltpu.VMEM((2, th + 2, tw + 16, 128), jnp.bfloat16),
             pltpu.VMEM((2 * th + 6, tw + 2, 3 * 128), jnp.bfloat16),
             pltpu.VMEM((2 * th + 4, tw, 3 * 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
